@@ -1,0 +1,150 @@
+"""Differentiable weighted least-squares polynomial fitting, TPU-first.
+
+The reference solves, per lane k, the normal equations of a weighted fit
+x = Y @ beta with diag-weight W_k over all H*W pixels
+(Birds_Eye_View_Loss/Networks/LSQ_layer.py:90-167,
+Backprojection_Loss/Networks/LSQ_layer.py:72-154):
+
+    Y0 = W_k * Y;   Z = Y0^T Y0 + reg_ls*I;   beta_k = Z^{-1} (Y0^T (W_k * x))
+
+i.e. Z = Y^T diag(W_k^2) Y and rhs = Y^T diag(W_k^2) x — only W^2 enters.
+
+TPU redesign (this module):
+
+1. The BEV grid is a compile-time constant (the homography never changes), so
+   the per-pixel monomial products Y_i*Y_j and Y_i*x are precomputed ONCE on
+   the host into a single "moment basis" B of shape (H*W, K) with
+   K = (order+1)^2 + (order+1). All per-lane, per-image moments then come from
+   ONE large MXU matmul:  moments = W2 @ B  with W2 = weights^2 reshaped
+   (batch*nclasses, H*W). No per-lane Python loop, no (B,N,order+1)
+   intermediates in HBM, no batched `bmm` against constant operands.
+
+2. The tiny (order+1)x(order+1) solves are batched with
+   `jnp.linalg.solve` / Cholesky — natively differentiable in JAX (the
+   reference needed a hand-written autograd Function,
+   Backprojection_Loss/Networks/gels.py:9-25).
+
+3. Conditioning: the reference computes the normal equations on raw pixel
+   coordinates (y up to 255, order 3 => Z entries ~ y^6) and leans on float64
+   casts. TPUs want float32, so the Vandermonde basis is built on y/scale
+   with the EXACT algebraic rescaling of both the Tikhonov term and the
+   solution (beta = beta_scaled / scale^power). Same mathematical answer,
+   well-conditioned in f32.
+
+4. Totality: XLA cannot throw on singular matrices, so the solve is total —
+   `reg_floor` adds a tiny diagonal relative to trace(Z) ON TOP of the
+   user-facing `reg_ls`, replacing the reference's try/except batch skipping
+   (Birds_Eye_View_Loss/main.py:213-219) and making every phase safe.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lanedetection_end2end_tpu.geometry import projective_grid
+
+
+def _vandermonde(y: np.ndarray, order: int) -> np.ndarray:
+    """Columns [y^order, ..., y, 1], matching the reference's column order
+    (Birds_Eye_View_Loss/Networks/LSQ_layer.py:110-115)."""
+    return np.stack([y ** p for p in range(order, -1, -1)], axis=-1)
+
+
+class WLSFitter:
+    """Precomputes the constant moment basis and exposes a jittable fit.
+
+    Args:
+      M: 3x3 homography (image -> BEV), host array.
+      height/width: weight-map spatial shape.
+      order: polynomial order (0..3).
+      normalized: True for the BEV profile (grid in [0,1)), False for the BP
+        profile (pixel coordinates).
+      reg_ls: Tikhonov strength in the reference's unscaled coordinates
+        (utils.py flag --reg_ls).
+      reg_floor: relative diagonal floor making the solve total (TPU addition).
+      use_cholesky: solve via Cholesky (parity with --use_cholesky / GELS).
+    """
+
+    def __init__(self, M: np.ndarray, height: int, width: int, order: int,
+                 normalized: bool, reg_ls: float = 0.0,
+                 reg_floor: float = 1e-8, use_cholesky: bool = False,
+                 dtype=jnp.float32):
+        if order not in (0, 1, 2, 3):
+            raise NotImplementedError(
+                f"Requested order {order} for polynomial fit is not implemented")
+        self.order = order
+        self.height, self.width = height, width
+        self.use_cholesky = use_cholesky
+        self.reg_ls = float(reg_ls)
+        self.reg_floor = float(reg_floor)
+        self.dtype = dtype
+
+        grid = projective_grid(M, height, width, normalized)  # (N, 2) f64
+        x_map = grid[:, 0]
+        # Reference flips y so the fit runs bottom-up: 1-y (BEV, normalized,
+        # LSQ_layer.py:109) or (resize-1)-y (BP pixel space, hard-coded 255
+        # at Backprojection_Loss/Networks/LSQ_layer.py:94).
+        y_map = (1.0 - grid[:, 1]) if normalized else (float(height - 1) - grid[:, 1])
+
+        # Scaled Vandermonde for f32 conditioning. beta = beta_scaled / scale^p.
+        scale = max(float(np.max(np.abs(y_map))), 1e-12)
+        if normalized:
+            scale = 1.0  # already O(1); keep bit-parity with reference math
+        self.y_scale = scale
+        powers = np.arange(order, -1, -1, dtype=np.float64)  # [o, ..., 1, 0]
+        self._unscale = (scale ** -powers)  # multiply beta_scaled by this
+        Y = _vandermonde(y_map / scale, order)  # (N, o+1)
+
+        o1 = order + 1
+        # Moment basis: all products Y_i*Y_j (row-major (o+1)^2) then Y_i*x.
+        prods = (Y[:, :, None] * Y[:, None, :]).reshape(-1, o1 * o1)
+        rhs = Y * x_map[:, None]
+        basis = np.concatenate([prods, rhs], axis=1)  # (N, K)
+        self.basis = jnp.asarray(basis, dtype=dtype)
+        self.n_coeff = o1
+        # reg_ls acts on the UNSCALED Z; in scaled coords it becomes a
+        # diagonal of reg_ls * scale^(-2p) (see module docstring, point 3).
+        self._reg_diag = jnp.asarray(self.reg_ls * scale ** (-2.0 * powers),
+                                     dtype=dtype)
+
+    # ------------------------------------------------------------------
+    def __call__(self, wmaps: jax.Array) -> jax.Array:
+        """Fit all lanes of all images at once.
+
+        Args:
+          wmaps: activated weight maps, shape (B, C, H, W) or (B, C, N).
+        Returns:
+          beta: (B, C, order+1) polynomial coefficients, highest power first
+            (same layout as the reference's beta0..beta3 stacked over C).
+        """
+        o1 = self.n_coeff
+        B, C = wmaps.shape[0], wmaps.shape[1]
+        w2 = (wmaps * wmaps).reshape(B * C, -1).astype(self.dtype)
+        # ONE large matmul on the MXU; highest precision — the reduction over
+        # H*W pixels is the numerically critical step.
+        moments = jax.lax.dot_general(
+            w2, self.basis,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # (B*C, K)
+        Z = moments[:, :o1 * o1].reshape(B * C, o1, o1)
+        X = moments[:, o1 * o1:]
+
+        # Total solve: user Tikhonov (exact reference semantics) + tiny
+        # relative floor so absent lanes (all-zero weights) stay finite.
+        trace = jnp.trace(Z, axis1=-2, axis2=-1)[:, None]
+        floor = self.reg_floor * (trace / o1) + jnp.finfo(jnp.float32).tiny
+        diag = self._reg_diag[None, :] + floor  # (B*C, o1)
+        Z = Z + jnp.eye(o1, dtype=jnp.float32)[None] * diag[:, None, :]
+
+        if self.use_cholesky:
+            chol = jax.scipy.linalg.cholesky(Z, lower=True)
+            beta_s = jax.scipy.linalg.cho_solve((chol, True), X[..., None])[..., 0]
+        else:
+            beta_s = jnp.linalg.solve(Z, X[..., None])[..., 0]
+
+        beta = beta_s * jnp.asarray(self._unscale, dtype=beta_s.dtype)[None, :]
+        return beta.reshape(B, C, o1)
