@@ -20,4 +20,11 @@ Both reference experiment trees are supported as *profiles* of one codebase:
 
 __version__ = "0.1.0"
 
-from lanedetection_end2end_tpu.config import LaneConfig  # noqa: F401
+from lanedetection_end2end_tpu.config import (  # noqa: F401
+    LaneConfig, bev_defaults, bp_defaults, train_sh_config, config_from_args)
+from lanedetection_end2end_tpu.ops import (  # noqa: F401
+    WLSFitter, BackprojectionLoss, area_loss, mse_params_loss,
+    weighted_cross_entropy, bce_with_logits, cross_entropy_logits,
+    trapezoidal_area, activation_fn)
+from lanedetection_end2end_tpu.models import (  # noqa: F401
+    ERFNet, LaneNet, LaneNetOutput, Classification, define_model, init_weights)

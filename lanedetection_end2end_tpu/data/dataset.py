@@ -1,0 +1,235 @@
+"""Host-side datasets producing fixed-shape numpy batch elements.
+
+Behavior parity with the reference `LaneDataset`s:
+- BEV profile: Birds_Eye_View_Loss/Dataloader/Load_Data_new.py:26-117
+- BP profile:  Backprojection_Loss/Dataloader/Load_Data_new.py:69-197
+- test set:    Backprojection_Loss/Dataloader/Load_Data_new.py:43-66
+
+TPU redesign choices:
+- Every sample is a dict of FIXED-SHAPE numpy arrays (lanes padded to 4x56,
+  params padded to 4x(order+1)); XLA gets one static batch signature.
+- Images come out NHWC float32 in [0,1] (channels-last is the TPU-native
+  convolution layout), not torch CHW.
+- The flip decision is an explicit argument driven by a seeded
+  `np.random.Generator` owned by the loader — reproducible and worker-safe,
+  unlike the reference's global `np.random.uniform` (Load_Data_new.py:167).
+- Decode/resize stays PIL bilinear/nearest for bit-parity with the
+  reference's torchvision `F.resize` (which wraps PIL for PIL inputs).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+from PIL import Image
+
+from lanedetection_end2end_tpu.data.labels import mirror_list, read_json_lines
+
+NUM_POINTS = 56  # TuSimple h_samples rows 160..710 step 10
+NUM_LANES = 4
+
+
+def _decode_and_resize(img_path: str, gt_path: Optional[str], resize: int):
+    """Crop the bottom 640 rows, resize to (resize, 2*resize).
+
+    Mirrors F.crop(image, h-640, 0, 640, w) + F.resize(...) at
+    Load_Data_new.py:128-131 (BP) / :77-80 (BEV).
+    """
+    with open(img_path, "rb") as f:
+        image = Image.open(f).convert("RGB")
+    w, h = image.size
+    image = image.crop((0, h - 640, w, h))
+    image = image.resize((2 * resize, resize), Image.BILINEAR)
+    if gt_path is None:
+        return np.asarray(image, dtype=np.float32) / 255.0, None
+    with open(gt_path, "rb") as f:
+        gt = Image.open(f).convert("P")
+    gt = gt.crop((0, h - 640, w, h))
+    gt = gt.resize((2 * resize, resize), Image.NEAREST)
+    return (np.asarray(image, dtype=np.float32) / 255.0,
+            np.asarray(gt, dtype=np.int32).copy())
+
+
+class LaneDataset:
+    """Labeled dataset, serving both profiles.
+
+    Args:
+      profile: 'bev' (poly-param labels) or 'bp' (ordered-lane labels).
+      image_dir/gt_dir: directories of NNNN.png images / P-mode gt masks.
+      curves_file: Curve_parameters.json (BEV; `poly_params`).
+      lanes_file: lanes_ordered.json (BP; `lanes` + `h_samples`).
+      line_file: label_new.json (`lines` 10-slot type annotations).
+      valid_idx: DATASET indices of validation images (flip never applied).
+      resize: output height; width is 2*resize.
+      nclasses: 2 or 4 (classes 3/4 zeroed from gt when < 3 —
+        Load_Data_new.py:163-165; the BEV tree always zeroes, :82-85).
+      expected_size: dataset-size assertion (3626 BP / 2535 BEV; None skips —
+        needed because our synthetic fixtures are smaller).
+    """
+
+    def __init__(self, profile: str, image_dir: str, gt_dir: str,
+                 valid_idx: Sequence[int], resize: int = 256,
+                 nclasses: int = 2, flip_on: bool = False,
+                 curves_file: Optional[str] = None,
+                 lanes_file: Optional[str] = None,
+                 line_file: Optional[str] = None,
+                 expected_size: Optional[int] = None):
+        if profile not in ("bev", "bp"):
+            raise ValueError(f"unknown profile {profile!r}")
+        self.profile = profile
+        self.image_dir = image_dir
+        self.gt_dir = gt_dir
+        self.resize = resize
+        self.nclasses = nclasses
+        self.flip_on = flip_on
+        self.rgb_lst = sorted(os.listdir(image_dir))
+        self.gt_lst = sorted(os.listdir(gt_dir))
+        if len(self.rgb_lst) != len(self.gt_lst):
+            raise ValueError("image/gt directory size mismatch")
+        if expected_size is not None and len(self.rgb_lst) != expected_size:
+            raise ValueError(
+                f"expected {expected_size} images, found {len(self.rgb_lst)}")
+
+        self.params = read_json_lines(curves_file) if curves_file else None
+        self.ordered_lanes = read_json_lines(lanes_file) if lanes_file else None
+        self.line_file = read_json_lines(line_file) if line_file else None
+        if profile == "bev" and self.params is None:
+            raise ValueError("the 'bev' profile requires curves_file")
+        if profile == "bp" and self.ordered_lanes is None:
+            raise ValueError("the 'bp' profile requires lanes_file")
+
+        # File NNNN.png -> label line NNNN-1 (Load_Data_new.py:53-54, :97-98).
+        target_idx = [int(n.split(".")[0]) for n in self.rgb_lst]
+        self.valid_idx = [target_idx[i] - 1 for i in valid_idx]
+
+    def __len__(self) -> int:
+        return len(self.rgb_lst)
+
+    # ------------------------------------------------------------------
+    def __getitem__(self, idx: int, *, flip: bool = False) -> Dict[str, np.ndarray]:
+        assert self.rgb_lst[idx].split(".")[0] == self.gt_lst[idx].split(".")[0]
+        img_path = os.path.join(self.image_dir, self.rgb_lst[idx])
+        gt_path = os.path.join(self.gt_dir, self.gt_lst[idx])
+        image, gt = _decode_and_resize(img_path, gt_path, self.resize)
+        label_idx = int(self.rgb_lst[idx].split(".")[0]) - 1
+        is_valid = label_idx in self.valid_idx
+        do_flip = flip and self.flip_on and not is_valid
+
+        if self.line_file is not None:
+            line_lst = list(self.line_file[label_idx]["lines"])
+        else:
+            line_lst = [0] * 10
+
+        if self.profile == "bev":
+            sample = self._bev_labels(label_idx, gt, line_lst, do_flip)
+        else:
+            sample = self._bp_labels(label_idx, gt, line_lst, do_flip)
+
+        if do_flip:
+            image = image[:, ::-1]
+        sample["image"] = np.ascontiguousarray(image)
+        sample["idx"] = np.int32(label_idx)
+        sample["is_valid"] = np.bool_(is_valid)
+        return sample
+
+    # -- BEV tree labels (Load_Data_new.py:73-117) ----------------------
+    def _bev_labels(self, label_idx, gt, line_lst, do_flip):
+        params = np.array(self.params[label_idx]["poly_params"],
+                          dtype=np.float64)  # (4, 3)
+        gt[np.isin(gt, (3, 4))] = 0  # BEV always drops lanes 3/4 (:82-85)
+        if do_flip:
+            gt = gt[:, ::-1].copy()
+            line_lst = mirror_list(line_lst)
+            idx1, idx2 = np.isin(gt, 1), np.isin(gt, 2)
+            gt[idx1], gt[idx2] = 2, 1
+            # Mirror BEV coefficients: x -> 1-x means p -> -p, c -> 1+c;
+            # lane order swaps pairwise (:96-99).
+            params = params[[1, 0, 3, 2]]
+            params = -params
+            params[:, -1] = 1 + params[:, -1]
+        # Horizon gt: first nonzero gt row (:106-108).
+        nz = np.flatnonzero(gt.any(axis=1))
+        y_val = int(nz[0]) if nz.size else 0
+        horizon = np.zeros(self.resize, dtype=np.float32)
+        horizon[:y_val] = 1.0
+        line = np.array(line_lst[3:7], dtype=np.int64) + 1  # 3-way {0,1,2}
+        return {
+            "gt": gt.astype(np.int32),
+            "params": params.astype(np.float32),
+            "line": line.astype(np.int32),
+            "horizon": horizon,
+        }
+
+    # -- BP tree labels (Load_Data_new.py:110-197) ----------------------
+    def _bp_labels(self, label_idx, gt, line_lst, do_flip):
+        rec = self.ordered_lanes[label_idx]
+        lanes = np.array(rec["lanes"], dtype=np.float64)  # (4, <=56)
+        h_samples = np.array(rec["h_samples"], dtype=np.float64)
+        # Left-pad to 56 columns with -2 (:135-137).
+        pad = NUM_POINTS - lanes.shape[1]
+        lanes = np.hstack([np.full((NUM_LANES, pad), -2.0), lanes])
+        h_samples = np.concatenate(
+            [160.0 + 10.0 * np.arange(pad), h_samples]) if pad else h_samples
+
+        valid_points = (lanes > 0).astype(np.int32)
+        valid_points[:, :8] = 0  # start from h_samples = 210 (:140-141)
+
+        # Resize coordinates into the cropped (resize, 2*resize) frame (:143-147).
+        lanes = lanes / 2.5
+        track = lanes < 0
+        h_res = h_samples / 2.5 - 32.0
+        lanes[track] = -2.0
+
+        if self.nclasses < 3:
+            gt[np.isin(gt, (3, 4))] = 0  # (:163-165)
+
+        if do_flip:
+            gt = gt[:, ::-1].copy()
+            idx1, idx2 = np.isin(gt, 1), np.isin(gt, 2)
+            idx3, idx4 = np.isin(gt, 3), np.isin(gt, 4)
+            gt[idx1], gt[idx2] = 2, 1
+            gt[idx3], gt[idx4] = 4, 3
+            lanes = (2 * self.resize - 1) - lanes
+            lanes[track] = -2.0
+            lanes = lanes[[1, 0, 3, 2]]
+            valid_points = valid_points[[1, 0, 3, 2]]
+            line_lst = mirror_list(line_lst)
+
+        # Horizon: min valid resized y over lanes, default resize (:149-155).
+        horizon_lanes = []
+        for k in range(NUM_LANES):
+            ys = [y for x, y in zip(lanes[k], h_res) if x != -2]
+            horizon_lanes.append(min(ys) if ys else float(self.resize))
+        y_val = min(horizon_lanes)
+        horizon = np.zeros(self.resize, dtype=np.float32)
+        horizon[: int(np.floor(y_val))] = 1.0
+
+        # Line presence gt in {0,1} (:187-188).
+        line = np.clip(np.array(line_lst[3:7], dtype=np.float64) + 1, 0, 1)
+        return {
+            "gt": gt.astype(np.int32),
+            "lanes": lanes.astype(np.float32),
+            "valid_points": valid_points.astype(np.float32),
+            "line": line.astype(np.float32),
+            "horizon": horizon,
+        }
+
+
+class LaneTestSet:
+    """Image-only TuSimple test set (Backprojection_Loss/Load_Data_new.py:43-66)."""
+
+    def __init__(self, gt_file: str, path: str, resize: int = 256):
+        self.img_info: List[dict] = read_json_lines(gt_file)
+        self.path = path
+        self.resize = resize
+
+    def __len__(self) -> int:
+        return len(self.img_info)
+
+    def __getitem__(self, idx: int, *, flip: bool = False) -> Dict[str, np.ndarray]:
+        del flip  # test images are never augmented
+        img_name = os.path.join(self.path, self.img_info[idx]["raw_file"])
+        image, _ = _decode_and_resize(img_name, None, self.resize)
+        return {"image": image, "idx": np.int32(idx)}

@@ -1,0 +1,203 @@
+"""Input pipeline: deterministic splits, threaded host loading, and
+double-buffered device prefetch with mesh sharding.
+
+Replaces the reference's torch DataLoader + pinned-memory `.cuda(non_blocking)`
+H2D path (Birds_Eye_View_Loss/Dataloader/Load_Data_new.py:318-324,
+main.py:207) with the TPU-native equivalent: a thread pool decoding on the
+host, fixed-shape collated numpy batches, and `jax.device_put` onto a
+`NamedSharding` over the data axis of the mesh — so each batch lands already
+sharded across the ICI domain, with `prefetch` batches in flight.
+"""
+
+from __future__ import annotations
+
+import collections
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterable, Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+
+# ----------------------------------------------------------------------
+# Deterministic split (Load_Data_new.py:293-308 BEV / :255-270 BP)
+# ----------------------------------------------------------------------
+
+def split_indices(num_train: int, split_percentage: float = 0.2,
+                  shuffle: bool = True) -> Tuple[List[int], List[int]]:
+    """Reference-identical train/val split.
+
+    Seeds the legacy MT19937 stream with `num_train` and shuffles — the exact
+    permutation of `np.random.seed(num_train); np.random.shuffle(indices)`
+    (Load_Data_new.py:301-303) without touching global RNG state. First
+    `split` indices are validation.
+    """
+    indices = np.arange(num_train)
+    split = int(np.floor(split_percentage * num_train))
+    if shuffle:
+        np.random.RandomState(num_train).shuffle(indices)
+    return list(map(int, indices[split:])), list(map(int, indices[:split]))
+
+
+def _truncate_to_batches(idx: Sequence[int], batch_size: int) -> List[int]:
+    """Static-shape guarantee: drop the ragged tail (BEV truncates the index
+    lists, Load_Data_new.py:305-306; BP uses drop_last=True, :284-288 — both
+    reduce to this)."""
+    n = len(idx) // batch_size * batch_size
+    return list(idx[:n])
+
+
+def collate(samples: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    """Stack a list of fixed-shape sample dicts into one batch dict."""
+    return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+
+# ----------------------------------------------------------------------
+# Threaded loader
+# ----------------------------------------------------------------------
+
+class Loader:
+    """Epoch-based batch iterator over a `LaneDataset`-like dataset.
+
+    Args:
+      dataset: object with `__len__` and `__getitem__(i, *, flip=bool)`.
+      indices: dataset indices this loader draws from.
+      batch_size: static batch size (ragged tail dropped).
+      shuffle: reshuffle per epoch (train) or keep sequential (validation —
+        the BP tree's SequentialIndicesSampler, Load_Data_new.py:245-253).
+      flip: enable random horizontal flips (train only).
+      nworkers: decode thread-pool width.
+      seed: base seed; epoch e uses seed+e so runs are reproducible.
+    """
+
+    def __init__(self, dataset, indices: Sequence[int], batch_size: int,
+                 shuffle: bool = True, flip: bool = False, nworkers: int = 8,
+                 seed: int = 0, pad_final: bool = False):
+        self.dataset = dataset
+        self.num_real = len(indices)
+        indices = list(indices)
+        if pad_final and indices and len(indices) % batch_size:
+            # Static shapes without dropping data: repeat the final sample
+            # (test-set inference; callers slice predictions to `num_real`).
+            indices = indices + [indices[-1]] * (
+                batch_size - len(indices) % batch_size)
+        self.indices = _truncate_to_batches(indices, batch_size)
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.flip = flip
+        self.nworkers = max(1, nworkers)
+        self.seed = seed
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        return len(self.indices) // self.batch_size
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        rng = np.random.RandomState(self.seed + self._epoch)
+        order = np.array(self.indices)
+        if self.shuffle:
+            rng.shuffle(order)
+        flips = (rng.uniform(0.0, 1.0, size=len(order)) > 0.5) & self.flip
+
+        def fetch(args):
+            i, f = args
+            return self.dataset.__getitem__(int(i), flip=bool(f))
+
+        nb = len(order) // self.batch_size
+        with ThreadPoolExecutor(self.nworkers) as pool:
+            # Pipelined: submit batch k+1 while batch k is being consumed.
+            pending = collections.deque()
+            for b in range(min(2, nb)):
+                sl = slice(b * self.batch_size, (b + 1) * self.batch_size)
+                pending.append(pool.map(fetch, zip(order[sl], flips[sl])))
+            for b in range(nb):
+                samples = list(pending.popleft())
+                nxt = b + 2
+                if nxt < nb:
+                    sl = slice(nxt * self.batch_size, (nxt + 1) * self.batch_size)
+                    pending.append(pool.map(fetch, zip(order[sl], flips[sl])))
+                yield collate(samples)
+
+
+# ----------------------------------------------------------------------
+# Device prefetch
+# ----------------------------------------------------------------------
+
+class DevicePrefetcher:
+    """Moves host batches onto the device(s) ahead of consumption.
+
+    The TPU-native replacement for pin_memory + non_blocking copies: batches
+    are `jax.device_put` onto `sharding` (a NamedSharding over the mesh's data
+    axis, or None for single-device) by a background thread, keeping `depth`
+    batches in flight so the H2D DMA overlaps the previous step's compute.
+    """
+
+    def __init__(self, it: Iterable[Dict[str, np.ndarray]],
+                 sharding: Optional[jax.sharding.Sharding] = None,
+                 depth: int = 2):
+        self._it = iter(it)
+        self._sharding = sharding
+        self._q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+        self._done = object()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _put(self, batch):
+        if self._sharding is None:
+            return jax.device_put(batch)
+        return jax.device_put(batch, self._sharding)
+
+    def _run(self):
+        try:
+            for batch in self._it:
+                self._q.put(self._put(batch))
+        finally:
+            self._q.put(self._done)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._done:
+            raise StopIteration
+        return item
+
+
+# ----------------------------------------------------------------------
+# Factories mirroring the reference entry points
+# ----------------------------------------------------------------------
+
+def get_loader(dataset_factory, num_train: int, batch_size: int,
+               val_batch_size: Optional[int] = None, shuffle: bool = True,
+               nworkers: int = 8, flip_on: bool = False,
+               split_percentage: float = 0.2, seed: int = 0
+               ) -> Tuple[Loader, Loader, List[int]]:
+    """Split + build train/val loaders.
+
+    Parity with `get_loader` (Load_Data_new.py:293-326 BEV / :255-290 BP).
+    `dataset_factory(valid_idx)` builds the dataset (it needs the validation
+    indices to suppress flips on validation images).
+    """
+    train_idx, valid_idx = split_indices(num_train, split_percentage, shuffle)
+    dataset = dataset_factory(valid_idx)
+    train_loader = Loader(dataset, train_idx, batch_size, shuffle=True,
+                          flip=flip_on, nworkers=nworkers, seed=seed)
+    valid_loader = Loader(dataset, valid_idx,
+                          val_batch_size or batch_size, shuffle=False,
+                          flip=False, nworkers=nworkers, seed=seed)
+    return train_loader, valid_loader, valid_idx
+
+
+def get_testloader(test_set, batch_size: int, nworkers: int = 8) -> Loader:
+    """Sequential loader over a `LaneTestSet`
+    (Backprojection_Loss/Load_Data_new.py:29-40). The final ragged batch is
+    padded by repeating the last image (drop_last=False semantics with static
+    shapes); callers slice predictions to `loader.num_real`."""
+    return Loader(test_set, range(len(test_set)), batch_size, shuffle=False,
+                  flip=False, nworkers=nworkers, pad_final=True)
