@@ -1,0 +1,110 @@
+"""Test-set inference driver: the throughput path of the framework.
+
+Parity with `test_model` (Backprojection_Loss/test.py:23-129), TPU-native:
+the whole per-batch pipeline — forward pass, sigmoid gating of the line and
+horizon branches, polynomial backprojection, bounds clipping — is ONE jitted
+function; the host only rounds to ints and streams JSON. Timing wraps
+`block_until_ready` (the `torch.cuda.synchronize` equivalent, test.py:51-58).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lanedetection_end2end_tpu.config import LaneConfig
+from lanedetection_end2end_tpu.data.labels import read_json_lines
+from lanedetection_end2end_tpu.eval.lane_eval import LaneEval
+from lanedetection_end2end_tpu.eval.projections import Projections
+from lanedetection_end2end_tpu.utils import AverageMeter, mkdir_if_missing
+
+
+def make_infer_fn(lanenet, cfg: LaneConfig, projections: Projections):
+    """Builds the jitted images -> (B, 4, 56) gated-lane-coordinates fn."""
+
+    @jax.jit
+    def infer(variables, images):
+        out = lanenet.apply(variables, images, phase="e2e", train=False)
+        beta = out.beta  # (B, C, o+1)
+        lanes_pred = projections.compute_coordinates(beta)  # (B, C, 56)
+
+        if cfg.clas:
+            # Horizon row estimate: round((2.5*sum(sigmoid)+80)/10)*10
+            # (test.py:62-63).
+            horizon_pred = jnp.sum(jax.nn.sigmoid(out.horizon_logits), axis=1)
+            horizon_pred = jnp.round(
+                (projections.factor * horizon_pred + 80.0) / 10.0) * 10.0
+            # Line branch slots [ll, l, r, rr] -> lane order [l, r, ll, rr]
+            # (test.py:76).
+            line_pred = jnp.round(jax.nn.sigmoid(out.line_logits))
+            line_pred = line_pred[:, jnp.array([1, 2, 0, 3])]
+            lanes_pred = jnp.where(line_pred[:, :, None] > 0, lanes_pred, -2.0)
+            # Suppress rows above the estimated horizon (test.py:80-82).
+            bound = (horizon_pred - 160.0) / 10.0  # (B,)
+            cols = jnp.arange(lanes_pred.shape[-1], dtype=jnp.float32)
+            lanes_pred = jnp.where(cols[None, None, :] < bound[:, None, None],
+                                   -2.0, lanes_pred)
+        # Out-of-image x -> -2 (test.py:85-86).
+        lanes_pred = jnp.where(
+            (lanes_pred > 1279.0) | (lanes_pred < 0.0), -2.0, lanes_pred)
+        return lanes_pred
+
+    return infer
+
+
+def test_model(loader, lanenet, variables, cfg: LaneConfig,
+               gt_file: Optional[str] = None,
+               save_path: Optional[str] = None,
+               verbose: bool = True) -> float:
+    """Run test-set inference, write `test_set_predictions.json`, score.
+
+    Args:
+      loader: sequential Loader over a LaneTestSet (pad_final batches;
+        predictions sliced to `loader.num_real`).
+      gt_file: TuSimple gt label file (defaults to test_dir/test_label.json).
+      save_path: output directory (defaults to cfg.save_path).
+    Returns:
+      TuSimple accuracy (the reference returns acc_seg[0], test.py:129).
+    """
+    assert cfg.end_to_end, "test inference requires the end-to-end graph"
+    gt_file = gt_file or os.path.join(cfg.test_dir, "test_label.json")
+    save_path = save_path or cfg.save_path
+    mkdir_if_missing(save_path)
+    test_set_file = os.path.join(save_path, "test_set_predictions.json")
+
+    projections = Projections(cfg.resize, cfg.order, cfg.no_mapping)
+    infer = make_infer_fn(lanenet, cfg, projections)
+    gt_lanes = read_json_lines(gt_file)
+
+    batch_time = AverageMeter()
+    preds = []
+    for batch in loader:
+        images = jnp.asarray(batch["image"])
+        t0 = time.perf_counter()
+        lanes_pred = infer(variables, images)
+        lanes_pred.block_until_ready()
+        batch_time.update(time.perf_counter() - t0)
+        preds.append(np.asarray(lanes_pred))
+
+    lanes_all = np.concatenate(preds, axis=0)[: loader.num_real]
+    with open(test_set_file, "w") as jsonFile:
+        for im_id in range(lanes_all.shape[0]):
+            json_line = dict(gt_lanes[im_id])
+            json_line["lanes"] = np.int_(np.round(lanes_all[im_id])).tolist()
+            json_line["run_time"] = 20
+            json.dump(json_line, jsonFile)
+            jsonFile.write("\n")
+
+    acc = LaneEval.bench_one_submit(test_set_file, gt_file)
+    if verbose:
+        print(acc)
+        print("===> Average ACC on TESTSET is {:.8} in {:.6}s for a batch"
+              .format(acc[0], batch_time.avg))
+    return acc[0]
