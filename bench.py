@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Throughput benchmark: end-to-end inference images/sec/chip at 256x512.
+
+Measures the flagship path (ERFNet forward -> activation/mask -> weighted-LSQ
+fit -> line/horizon gating -> backprojection to TuSimple coordinates) and
+prints ONE JSON line.
+
+Baseline: the reference writes `run_time = 20` ms/image into its TuSimple
+submissions (Backprojection_Loss/test.py:97) => 50 images/sec on its
+unspecified single GPU. `vs_baseline` is measured-throughput / 50.
+
+Defaults are tuned for this environment (remote-compile TPU tunnel where
+every XLA compile costs minutes): one batch size, bfloat16 backbone.
+Override with BENCH_BATCH_SIZES=8,32 BENCH_DTYPE=f32 for sweeps.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lanedetection_end2end_tpu.config import train_sh_config
+from lanedetection_end2end_tpu.eval.projections import Projections
+from lanedetection_end2end_tpu.eval.test_driver import make_infer_fn
+from lanedetection_end2end_tpu.models import LaneNet
+
+BASELINE_IMG_PER_SEC = 50.0  # 20 ms/image claimed by the reference
+
+
+def bench_batch_size(batch_size: int, dtype, warmup: int = 3,
+                     iters: int = 20) -> float:
+    cfg = train_sh_config(resize=256, batch_size=batch_size, reg_ls=1.0)
+    lanenet = LaneNet(cfg, dtype=dtype)
+    variables = lanenet.init(jax.random.PRNGKey(0))
+    infer = make_infer_fn(lanenet, cfg,
+                          Projections(cfg.resize, cfg.order, cfg.no_mapping))
+    images = jnp.asarray(
+        np.random.default_rng(0).uniform(
+            0, 1, (batch_size, cfg.image_height, cfg.image_width, 3)
+        ).astype(np.float32)).astype(dtype)
+    for _ in range(warmup):
+        infer(variables, images).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = infer(variables, images)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    return batch_size * iters / dt
+
+
+def main():
+    platform = jax.devices()[0].platform
+    sweep = tuple(int(b) for b in os.environ.get(
+        "BENCH_BATCH_SIZES", "8").split(","))
+    dtype = (jnp.float32 if os.environ.get("BENCH_DTYPE") == "f32"
+             else jnp.bfloat16)
+    best_tp, best_bs = 0.0, sweep[0]
+    for bs in sweep:
+        tp = bench_batch_size(bs, dtype)
+        if tp > best_tp:
+            best_tp, best_bs = tp, bs
+    print(json.dumps({
+        "metric": f"inference_images_per_sec_per_chip_256x512_bs{best_bs}_{platform}",
+        "value": round(best_tp, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(best_tp / BASELINE_IMG_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,220 @@
+"""Jitted train/eval steps — one XLA graph per (profile, phase) combination.
+
+The reference mutates `args.end_to_end` mid-training and branches at runtime
+(Birds_Eye_View_Loss/main.py:179-184, Backprojection_Loss/main.py:32-44);
+here every phase is a separate compiled graph over the SAME TrainState:
+
+  'skip' : seg CE only, LSQ layer not traced (BP early_return,
+           Backprojection_Loss/main.py:256-293)
+  'seg'  : seg CE drives gradients; curve losses computed as metrics only
+           (main.py:239-245 BEV / :309-321 BP)
+  'e2e'  : curve loss (area/mse/backprojection) [+ clas heads] end to end
+           (main.py:222-255 BEV / :296-331 BP)
+
+Loss assembly is bit-faithful to the reference drivers, including the lane
+masking for absent lanes (main.py:225-237) and the per-lane averaging of the
+BP tree (main.py:308). All metrics (exact trapezoidal area, rmse, clas
+accuracies) are computed INSIDE the jitted graph — the reference pulls betas
+to the CPU per step (main.py:273-280); here only final scalars leave the
+device.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lanedetection_end2end_tpu.config import LaneConfig
+from lanedetection_end2end_tpu.ops import (
+    BackprojectionLoss, area_loss, mse_params_loss, weighted_cross_entropy,
+    bce_with_logits, cross_entropy_logits, trapezoidal_area)
+from lanedetection_end2end_tpu.train.state import TrainState
+
+
+def _seg_class_weights(cfg: LaneConfig) -> jnp.ndarray:
+    """BEV: [1, w, w] (Loss_crit.py:52-54); BP: [1] + [w]*nclasses
+    (Loss_crit.py:64-65)."""
+    w = cfg.weight_seg
+    if cfg.profile == "bev":
+        return jnp.asarray([1.0, w, w], dtype=jnp.float32)
+    return jnp.asarray([1.0] + [w] * cfg.nclasses, dtype=jnp.float32)
+
+
+def _lane_present_mask(gt_params: jax.Array) -> jax.Array:
+    """(B,) 1.0 where every gt coefficient is nonzero (main.py:226-229)."""
+    return jnp.all(gt_params != 0, axis=-1).astype(jnp.float32)
+
+
+def make_loss_fn(lanenet, cfg: LaneConfig, phase: str,
+                 train: bool) -> Callable:
+    """Returns loss_fn(params, batch_stats, batch, rng) ->
+    (loss, (metrics, outputs, new_batch_stats))."""
+    profile = cfg.profile
+    seg_weights = _seg_class_weights(cfg)
+    if profile == "bp":
+        bp_criterion = BackprojectionLoss(cfg.resize, cfg.order,
+                                          cfg.no_mapping)
+
+    def curve_loss_bev(beta, gt_params):
+        """Area/MSE losses + lane masking (main.py:222-237)."""
+        crit = area_loss if cfg.loss_policy == "area" else None
+        loss = 0.0
+        for k in range(2):
+            if crit is not None:
+                loss = loss + crit(beta[:, k], gt_params[:, k],
+                                   order=cfg.order,
+                                   weight_funct=cfg.weight_funct)
+            else:
+                loss = loss + mse_params_loss(beta[:, k], gt_params[:, k])
+        if cfg.nclasses > 3:
+            for k in (2, 3):
+                if crit is not None:
+                    loss = loss + crit(beta[:, k], gt_params[:, k],
+                                       order=cfg.order,
+                                       weight_funct=cfg.weight_funct)
+                else:
+                    mask = _lane_present_mask(gt_params[:, k])[:, None]
+                    loss = loss + mse_params_loss(beta[:, k] * mask,
+                                                  gt_params[:, k])
+        return loss
+
+    def curve_loss_bp(beta, lanes, valid_points):
+        """Backprojection MSE summed over lanes / nclasses (main.py:296-308)."""
+        loss = 0.0
+        x_cal = []
+        for k in range(cfg.nclasses):
+            lk, xk = bp_criterion(beta[:, k], lanes[:, k], valid_points[:, k])
+            loss = loss + lk
+            x_cal.append(xk)
+        return loss / cfg.nclasses, jnp.stack(x_cal, axis=1)
+
+    def clas_losses(out, batch):
+        if profile == "bev":
+            # 3-way line-type CE + horizon BCE (main.py:88-89, 246-254)
+            loss_line = cross_entropy_logits(out.line_logits, batch["line"])
+        else:
+            loss_line = bce_with_logits(out.line_logits, batch["line"])
+        loss_horizon = bce_with_logits(out.horizon_logits, batch["horizon"])
+        return loss_line, loss_horizon
+
+    def pad_order2(beta):
+        """Left-pad coefficients to [a,b,c] for the order-2 trapezoid metric."""
+        pad = 3 - beta.shape[-1]
+        if pad > 0:
+            beta = jnp.pad(beta, [(0, 0)] * (beta.ndim - 1) + [(pad, 0)])
+        elif pad < 0:
+            beta = beta[..., -3:]
+        return beta
+
+    def loss_fn(params, batch_stats, batch, rng):
+        variables = {"params": params, "batch_stats": batch_stats}
+        mutable = ["batch_stats"] if train else False
+        res = lanenet.apply(variables, batch["image"], phase=phase,
+                            train=train, rng=rng,
+                            gt_line=batch.get("line"), mutable=mutable)
+        out, new_vars = res if train else (res, None)
+        new_bs = new_vars["batch_stats"] if train else batch_stats
+        metrics: Dict[str, jax.Array] = {}
+        outputs: Dict[str, jax.Array] = {}
+
+        if phase in ("skip", "seg") and out.seg_logits.shape[-1] != seg_weights.shape[0]:
+            raise ValueError(
+                f"segmentation head has {out.seg_logits.shape[-1]} channels but "
+                f"{seg_weights.shape[0]} classes are expected — seg-phase "
+                "training needs the background channel (configure "
+                "pretrained=True for the dual head, or end_to_end=False; "
+                "reference: LSQ_layer.py:242 out_channels=nclasses+~end_to_end)")
+
+        if phase == "skip":
+            loss = weighted_cross_entropy(out.seg_logits, batch["gt"],
+                                          seg_weights)
+            metrics["loss"] = loss
+            return loss, (metrics, outputs, new_bs)
+
+        beta = out.beta
+        outputs["beta"] = beta
+        if profile == "bev":
+            gt_params = batch["params"]
+            curve = curve_loss_bev(beta, gt_params)
+            if phase == "e2e":
+                loss = curve
+            else:
+                loss = weighted_cross_entropy(out.seg_logits, batch["gt"],
+                                              seg_weights)
+                metrics["area_sq"] = jax.lax.stop_gradient(curve)
+            # exact trapezoidal egolane area metric (main.py:273-280)
+            tl = trapezoidal_area(pad_order2(beta[:, 0]),
+                                  pad_order2(gt_params[:, 0]))
+            tr = trapezoidal_area(pad_order2(beta[:, 1]),
+                                  pad_order2(gt_params[:, 1]))
+            metrics["exact_area"] = jax.lax.stop_gradient(
+                jnp.mean((tl + tr) / 2.0))
+        else:
+            curve, x_cal = curve_loss_bp(beta, batch["lanes"],
+                                         batch["valid_points"])
+            outputs["x_cal"] = x_cal
+            if phase == "e2e":
+                loss = curve
+            else:
+                loss = weighted_cross_entropy(out.seg_logits, batch["gt"],
+                                              seg_weights)
+                metrics["rmse"] = jax.lax.stop_gradient(curve)
+
+        if cfg.clas and phase == "e2e":
+            loss_line, loss_horizon = clas_losses(out, batch)
+            loss = (loss * cfg.weight_fit
+                    + (loss_line + loss_horizon) * cfg.weight_class)
+            metrics["loss_line"] = loss_line
+            metrics["loss_horizon"] = loss_horizon
+            # Validation accuracies (main.py:417-433)
+            if profile == "bev":
+                line_pred = jnp.argmax(out.line_logits, axis=1)
+                metrics["acc_line"] = jnp.mean(
+                    (line_pred == batch["line"]).astype(jnp.float32))
+            else:
+                line_pred = jnp.round(jax.nn.sigmoid(out.line_logits))
+                metrics["acc_line"] = jnp.mean(
+                    (line_pred == batch["line"]).astype(jnp.float32))
+            horizon_pred = jnp.round(jax.nn.sigmoid(out.horizon_logits))
+            metrics["acc_horizon"] = jnp.mean(
+                (horizon_pred == batch["horizon"]).astype(jnp.float32))
+            outputs["line_pred"] = line_pred
+            outputs["horizon_pred"] = horizon_pred
+
+        metrics["loss"] = loss
+        return loss, (metrics, outputs, new_bs)
+
+    return loss_fn
+
+
+def make_train_step(lanenet, cfg: LaneConfig, tx, phase: str,
+                    donate: bool = True):
+    """jitted (state, batch, rng) -> (state, metrics)."""
+    loss_fn = make_loss_fn(lanenet, cfg, phase, train=True)
+
+    def step(state: TrainState, batch, rng):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (metrics, _, new_bs)), grads = grad_fn(
+            state.params, state.batch_stats, batch, rng)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.params, updates)
+        return (TrainState(new_params, new_bs, new_opt), metrics)
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(lanenet, cfg: LaneConfig, phase: str):
+    """jitted (state, batch) -> (metrics, outputs) — no gradients, running
+    BN statistics (model.eval() semantics, main.py:373-376)."""
+    loss_fn = make_loss_fn(lanenet, cfg, phase, train=False)
+
+    def step(state: TrainState, batch):
+        _, (metrics, outputs, _) = loss_fn(state.params, state.batch_stats,
+                                           batch, None)
+        return metrics, outputs
+
+    return jax.jit(step)
