@@ -32,13 +32,23 @@ from lanedetection_end2end_tpu.models import LaneNet
 BASELINE_IMG_PER_SEC = 50.0  # 20 ms/image claimed by the reference
 
 
-def bench_batch_size(batch_size: int, dtype, warmup: int = 3,
-                     iters: int = 20) -> float:
+def bench_batch_size(batch_size: int, dtype, warmup: int = 5,
+                     iters: int = 50, use_engine: bool = True) -> float:
     cfg = train_sh_config(resize=256, batch_size=batch_size, reg_ls=1.0)
     lanenet = LaneNet(cfg, dtype=dtype)
-    variables = lanenet.init(jax.random.PRNGKey(0))
+    # init on CPU: avoids paying a TPU compile for parameter initialization
+    with jax.default_device(jax.devices("cpu")[0]):
+        variables = lanenet.init(jax.random.PRNGKey(0))
+    variables = jax.device_put(jax.device_get(variables), jax.devices()[0])
+    engine = packed = None
+    if use_engine and jax.devices()[0].platform != "cpu":
+        from lanedetection_end2end_tpu.models.infer_engine import \
+            FusedLaneNetEngine
+        engine = FusedLaneNetEngine(cfg, dtype=dtype)
+        packed = jax.device_put(engine.prepare(variables), jax.devices()[0])
     infer = make_infer_fn(lanenet, cfg,
-                          Projections(cfg.resize, cfg.order, cfg.no_mapping))
+                          Projections(cfg.resize, cfg.order, cfg.no_mapping),
+                          engine, packed)
     images = jnp.asarray(
         np.random.default_rng(0).uniform(
             0, 1, (batch_size, cfg.image_height, cfg.image_width, 3)

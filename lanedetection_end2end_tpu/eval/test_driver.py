@@ -26,24 +26,33 @@ from lanedetection_end2end_tpu.eval.projections import Projections
 from lanedetection_end2end_tpu.utils import AverageMeter, mkdir_if_missing
 
 
-def make_infer_fn(lanenet, cfg: LaneConfig, projections: Projections):
-    """Builds the jitted images -> (B, 4, 56) gated-lane-coordinates fn."""
+def make_infer_fn(lanenet, cfg: LaneConfig, projections: Projections,
+                  engine=None, packed=None):
+    """Builds the jitted images -> (B, 4, 56) gated-lane-coordinates fn.
+
+    With `engine`/`packed` (models/infer_engine.py), the forward runs the
+    fused Pallas serving path; otherwise the flax graph."""
 
     @jax.jit
     def infer(variables, images):
-        out = lanenet.apply(variables, images, phase="e2e", train=False)
-        beta = out.beta  # (B, C, o+1)
+        if engine is not None:
+            beta, line_logits, horizon_logits = engine(packed, variables,
+                                                       images)
+        else:
+            out = lanenet.apply(variables, images, phase="e2e", train=False)
+            beta = out.beta
+            line_logits, horizon_logits = out.line_logits, out.horizon_logits
         lanes_pred = projections.compute_coordinates(beta)  # (B, C, 56)
 
         if cfg.clas:
             # Horizon row estimate: round((2.5*sum(sigmoid)+80)/10)*10
             # (test.py:62-63).
-            horizon_pred = jnp.sum(jax.nn.sigmoid(out.horizon_logits), axis=1)
+            horizon_pred = jnp.sum(jax.nn.sigmoid(horizon_logits), axis=1)
             horizon_pred = jnp.round(
                 (projections.factor * horizon_pred + 80.0) / 10.0) * 10.0
             # Line branch slots [ll, l, r, rr] -> lane order [l, r, ll, rr]
             # (test.py:76).
-            line_pred = jnp.round(jax.nn.sigmoid(out.line_logits))
+            line_pred = jnp.round(jax.nn.sigmoid(line_logits))
             line_pred = line_pred[:, jnp.array([1, 2, 0, 3])]
             lanes_pred = jnp.where(line_pred[:, :, None] > 0, lanes_pred, -2.0)
             # Suppress rows above the estimated horizon (test.py:80-82).
@@ -62,7 +71,7 @@ def make_infer_fn(lanenet, cfg: LaneConfig, projections: Projections):
 def test_model(loader, lanenet, variables, cfg: LaneConfig,
                gt_file: Optional[str] = None,
                save_path: Optional[str] = None,
-               verbose: bool = True) -> float:
+               verbose: bool = True, use_engine: bool = False) -> float:
     """Run test-set inference, write `test_set_predictions.json`, score.
 
     Args:
@@ -80,7 +89,13 @@ def test_model(loader, lanenet, variables, cfg: LaneConfig,
     test_set_file = os.path.join(save_path, "test_set_predictions.json")
 
     projections = Projections(cfg.resize, cfg.order, cfg.no_mapping)
-    infer = make_infer_fn(lanenet, cfg, projections)
+    engine = packed = None
+    if use_engine:
+        from lanedetection_end2end_tpu.models.infer_engine import \
+            FusedLaneNetEngine
+        engine = FusedLaneNetEngine(cfg)
+        packed = jax.device_put(engine.prepare(variables))
+    infer = make_infer_fn(lanenet, cfg, projections, engine, packed)
     gt_lanes = read_json_lines(gt_file)
 
     batch_time = AverageMeter()

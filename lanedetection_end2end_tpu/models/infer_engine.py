@@ -1,0 +1,134 @@
+"""Fused inference engine: the serving-path forward pass.
+
+Production twin of `LaneNet.apply(phase='e2e', train=False)`: identical math
+on the same checkpoint variables, but every non_bottleneck_1d block runs as
+the fused lane-packed Pallas kernel (ops/pallas_nb1d.py) with BatchNorm
+statistics folded in, instead of XLA's layout-thrashing small-channel convs.
+Downsampler/upsampler/head layers stay on XLA (they are a minority of the
+time; candidates for later fusion).
+
+Usage:
+    engine = FusedLaneNetEngine(cfg)
+    packed = engine.prepare(variables)      # once per checkpoint (host)
+    beta, line, horizon = jax.jit(engine)(packed, variables, images)
+
+Training keeps the differentiable flax graph — this engine is inference-only
+(running BN statistics, no dropout), mirroring how the reference's test.py
+path runs under torch.no_grad()+model.eval() (Backprojection_Loss/test.py:38).
+"""
+
+from __future__ import annotations
+
+from math import ceil
+from typing import Any, Dict
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lanedetection_end2end_tpu.config import LaneConfig
+from lanedetection_end2end_tpu.models.erfnet import (
+    Decoder, DownsamplerBlock, UpsamplerBlock)
+from lanedetection_end2end_tpu.models.heads import Classification
+from lanedetection_end2end_tpu.models.lanenet import LaneNet
+from lanedetection_end2end_tpu.ops.activations import activation_fn
+from lanedetection_end2end_tpu.ops.pallas_nb1d import (
+    nb1d_chain, nb1d_fused, pack_nb1d)
+
+# (name, dilation) of every NB1D block, per ERFNet.py:66-81 / :116-124
+_ENC_NB64 = [(f"nb64_{i}", 1) for i in range(5)]
+_ENC_NB128 = [(f"nb128_{j}_d{d}", d) for j in range(2) for d in (2, 4, 8, 16)]
+_DEC_NB64 = [("nb64_0", 1), ("nb64_1", 1)]
+_DEC_NB16 = [("nb16_0", 1), ("nb16_1", 1)]
+
+
+class FusedLaneNetEngine:
+    def __init__(self, cfg: LaneConfig, dtype: Any = jnp.bfloat16,
+                 interpret: bool = False):
+        self.cfg = cfg
+        self.dtype = dtype
+        self.interpret = interpret
+        # reuse LaneNet's constants (homography, WLS basis, row mask)
+        self._lanenet = LaneNet(cfg, dtype=dtype)
+        self.fitter = self._lanenet.fitter
+        self._mask = self._lanenet._mask
+        self._act = activation_fn(cfg.activation_layer)
+
+    # ------------------------------------------------------------------
+    def prepare(self, variables) -> Dict:
+        """Fold BN stats + build lane-packed NB1D constants (host, once)."""
+        v = jax.device_get(variables)
+        enc_p = v["params"]["erfnet"]["encoder"]
+        enc_s = v["batch_stats"]["erfnet"]["encoder"]
+        dec_p = v["params"]["erfnet"]["decoder"]
+        dec_s = v["batch_stats"]["erfnet"]["decoder"]
+        packed = {}
+        for name, d in _ENC_NB64 + _ENC_NB128:
+            packed["enc_" + name] = pack_nb1d(enc_p[name], enc_s[name], d)
+        for name, d in _DEC_NB64 + _DEC_NB16:
+            packed["dec_" + name] = pack_nb1d(dec_p[name], dec_s[name], d)
+        # static ints must not cross jit boundaries as dict leaves
+        for entry in packed.values():
+            entry.pop("C", None)
+            entry.pop("dilation", None)
+        return packed
+
+    # ------------------------------------------------------------------
+    def _sub(self, variables, *path):
+        p = variables["params"]
+        s = variables["batch_stats"]
+        for k in path:
+            p = p[k]
+            s = s.get(k, {}) if isinstance(s, dict) else {}
+        return {"params": p, "batch_stats": s}
+
+    def __call__(self, packed: Dict, variables, images) -> tuple:
+        """images (B, H, W, 3) -> (beta, line_logits, horizon_logits)."""
+        cfg = self.cfg
+        x = images.astype(self.dtype)
+        sub = lambda *path: self._sub(variables, "erfnet", *path)
+        kw = dict(train=False)
+        chain = lambda t, prefix, blocks: nb1d_chain(
+            t, [packed[prefix + n] for n, _ in blocks],
+            [d for _, d in blocks], interpret=self.interpret)
+
+        x = DownsamplerBlock(16, dtype=self.dtype).apply(
+            sub("encoder", "initial_block"), x, **kw)
+        x = DownsamplerBlock(64, dtype=self.dtype).apply(
+            sub("encoder", "down1"), x, **kw)
+        x = chain(x, "enc_", _ENC_NB64)
+        x = DownsamplerBlock(128, dtype=self.dtype).apply(
+            sub("encoder", "down2"), x, **kw)
+        x = chain(x, "enc_", _ENC_NB128)
+        enc = x
+
+        y = UpsamplerBlock(64, dtype=self.dtype).apply(
+            sub("decoder", "up1"), enc, **kw)
+        y = chain(y, "dec_", _DEC_NB64)
+        y = UpsamplerBlock(16, dtype=self.dtype).apply(
+            sub("decoder", "up2"), y, **kw)
+        y = chain(y, "dec_", _DEC_NB16)
+        # output head: flax ConvTranspose inside Decoder; apply directly
+        import flax.linen as nn
+        out_ch = cfg.nclasses if cfg.pretrained else cfg.seg_out_channels
+        head = nn.ConvTranspose(out_ch, (2, 2), strides=(2, 2),
+                                padding="VALID", dtype=self.dtype)
+        dec = head.apply(
+            {"params": variables["params"]["erfnet"]["decoder"]["output_conv"]},
+            y)
+
+        line = horizon = None
+        if cfg.clas:
+            variant = "bev" if cfg.profile == "bev" else "bp"
+            line = Classification("line", resize=cfg.resize, variant=variant,
+                                  dtype=self.dtype).apply(
+                self._sub(variables, "line_classification"), enc, train=False)
+            horizon = Classification("horizon", resize=cfg.resize,
+                                     variant=variant, dtype=self.dtype).apply(
+                self._sub(variables, "horizon_estimation"), enc, train=False)
+
+        dec = dec.astype(jnp.float32)
+        activated = self._act(dec)
+        masked = activated * self._mask.astype(activated.dtype)
+        beta = self.fitter(masked, layout="nhwc")
+        return beta, line, horizon

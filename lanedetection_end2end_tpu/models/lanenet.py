@@ -168,7 +168,11 @@ class LaneNet:
                                       activated[..., :1])
 
         masked = activated * self._mask.astype(activated.dtype)
+        # Fit straight from the channels-last maps (the NHWC->NCHW transpose
+        # is a pathological C-minor relayout on TPU; see WLSFitter.__call__).
+        beta = self.fitter(masked, layout="nhwc")
+        # NCHW weight maps only for visualization/parity consumers; XLA
+        # dead-code-eliminates this transpose from graphs that don't use it.
         wmaps = jnp.transpose(masked, (0, 3, 1, 2))  # (B, C, H, W)
-        beta = self.fitter(wmaps)
         res = LaneNetOutput(beta, wmaps, dec, line, horizon, enc)
         return (res, new_vars) if mutable else res

@@ -1,0 +1,272 @@
+"""Pallas fused non_bottleneck_1d block — the backbone's hot op.
+
+ERFNet spends its time in NB1D blocks (ERFNet.py:25-60): four factorized
+convs (3x1, 1x3, 3x1-dilated, 1x3-dilated) + two BatchNorms + relus +
+residual. XLA executes the small-channel instances (C=16/64 at high
+resolution) at ~5% of memory speed-of-light: channel counts far below the
+128-lane width force layout churn, and every conv/elementwise boundary
+inserts lane-permuting copies that run ~40 GB/s (profiled: two C=16 blocks
+cost 2.4 ms of a 6.6 ms inference batch — more than all MXU work combined).
+
+This kernel processes one image per grid step with the WHOLE block fused in
+VMEM, in the "lane-packed" layout (H, W*C): lanes are fully occupied for any
+C dividing 128, and
+
+- a 1x3 conv (along W, dilation d) = 3 lane-rotations by ±d*C
+  (`pltpu.roll` — native VPU op) with edge masking, each followed by a
+  block-diagonal (128, 128) matmul (G = 128/C copies of the (C, C) channel
+  mixer on the diagonal) — MXU-perfect shapes;
+- a 3x1 conv (along H, dilation d) = 3 row-shifts (sublane slices, cheap)
+  with the same block-diagonal matmul;
+- conv biases and BatchNorm (inference: running stats) fold into per-lane
+  multiply/add vectors; relus and the residual are VPU elementwise.
+
+HBM traffic per block: read + write one bf16 plane per image — speed of
+light for this op. Used by the fused inference engine
+(models/infer_engine.py); training keeps the differentiable flax graph.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def fold_bn(bn_params: Dict, bn_stats: Dict, eps: float = 1e-3):
+    """BatchNorm (inference) -> per-channel (mul, add):
+    y = (x - mean)/sqrt(var+eps)*scale + bias = x*mul + add."""
+    scale = np.asarray(bn_params["scale"], np.float32)
+    bias = np.asarray(bn_params["bias"], np.float32)
+    mean = np.asarray(bn_stats["mean"], np.float32)
+    var = np.asarray(bn_stats["var"], np.float32)
+    mul = scale / np.sqrt(var + eps)
+    return mul, bias - mean * mul
+
+
+def _block_diag(k: np.ndarray) -> np.ndarray:
+    """(C, C) channel mixer -> (128, 128) block diagonal (G = 128//C copies)."""
+    C = k.shape[0]
+    assert 128 % C == 0, f"channel count {C} must divide 128"
+    G = 128 // C
+    out = np.zeros((128, 128), np.float32)
+    for g in range(G):
+        out[g * C:(g + 1) * C, g * C:(g + 1) * C] = k
+    return out
+
+
+def pack_nb1d(params: Dict, stats: Dict, dilation: int, eps: float = 1e-3):
+    """Precompute the kernel's constants from a flax NonBottleneck1D
+    param/batch_stats subtree (models/erfnet.py NonBottleneck1D names).
+
+    Conv kernels are flax (kh, kw, cin, cout); 3x1 kernels index kh (taps
+    over H), 1x3 kernels index kw (taps over W). Biases and BatchNorms fold
+    into per-channel (mul, add) pairs applied after each directional pair.
+    """
+    k31_1 = np.asarray(params["conv3x1_1"]["kernel"], np.float32)  # (3,1,C,C)
+    k13_1 = np.asarray(params["conv1x3_1"]["kernel"], np.float32)  # (1,3,C,C)
+    k31_2 = np.asarray(params["conv3x1_2"]["kernel"], np.float32)
+    k13_2 = np.asarray(params["conv1x3_2"]["kernel"], np.float32)
+    C = k31_1.shape[2]
+    G = 128 // C
+
+    def taps_h(k):  # (3,1,C,C) -> (3,128,128)
+        return np.stack([_block_diag(k[t, 0]) for t in range(3)])
+
+    def taps_w(k):  # (1,3,C,C) -> (3,128,128)
+        return np.stack([_block_diag(k[0, t]) for t in range(3)])
+
+    mul1, add1 = fold_bn(params["bn1"], stats["bn1"], eps)
+    mul2, add2 = fold_bn(params["bn2"], stats["bn2"], eps)
+    b1 = np.asarray(params["conv3x1_1"]["bias"], np.float32)
+    b2 = np.asarray(params["conv1x3_1"]["bias"], np.float32)
+    b3 = np.asarray(params["conv3x1_2"]["bias"], np.float32)
+    b4 = np.asarray(params["conv1x3_2"]["bias"], np.float32)
+
+    tile = lambda v: jnp.asarray(np.tile(v, G)[None, :], jnp.float32)  # (1,128)
+    return {
+        "Kh1": jnp.asarray(taps_h(k31_1), jnp.bfloat16),
+        "Kw1": jnp.asarray(taps_w(k13_1), jnp.bfloat16),
+        "Kh2": jnp.asarray(taps_h(k31_2), jnp.bfloat16),
+        "Kw2": jnp.asarray(taps_w(k13_2), jnp.bfloat16),
+        "b1": tile(b1),
+        # bn1(conv + b2) = conv*mul1 + (b2*mul1 + add1)
+        "m1": tile(mul1), "a1": tile(b2 * mul1 + add1),
+        "b3": tile(b3),
+        "m2": tile(mul2), "a2": tile(b4 * mul2 + add2),
+        "C": C, "dilation": int(dilation),
+    }
+
+
+def _nb1d_kernel(x_ref, Kh1, Kw1, Kh2, Kw2, b1, m1, a1, b3, m2, a2,
+                 out_ref, *, H, L, C, d, interpret):
+    """One image: x_ref (1, H, L) bf16 lane-packed; out_ref same."""
+    consts = (Kh1[:], Kw1[:], Kh2[:], Kw2[:], b1[:], m1[:], a1[:],
+              b3[:], m2[:], a2[:])
+    y = _nb1d_body(x_ref[0], consts, H=H, L=L, C=C, d=d, interpret=interpret)
+    out_ref[0] = y.astype(out_ref.dtype).reshape(H, L)
+
+
+def _nb1d_body(x, consts, *, H, L, C, d, interpret):
+    """One NB1D block on a resident (H, L) plane; returns (H*L/128, 128) f32
+    pre-relu residual output. Shared by the single and chain kernels."""
+    Kh1, Kw1, Kh2, Kw2, b1, m1, a1, b3, m2, a2 = consts
+
+    def conv_h(t, K, dil):
+        if dil >= H:
+            up = dn = jnp.zeros((H, L), t.dtype)
+        else:
+            zeros = jnp.zeros((dil, L), t.dtype)
+            up = jnp.concatenate([zeros, t[:-dil]], axis=0)
+            dn = jnp.concatenate([t[dil:], zeros], axis=0)
+        out = jnp.dot(up.reshape(-1, 128), K[0],
+                      preferred_element_type=jnp.float32)
+        out += jnp.dot(t.reshape(-1, 128), K[1],
+                       preferred_element_type=jnp.float32)
+        out += jnp.dot(dn.reshape(-1, 128), K[2],
+                       preferred_element_type=jnp.float32)
+        return out
+
+    def conv_w(t, K, dil):
+        s = dil * C
+        t32 = t.astype(jnp.float32)
+        if s >= L:
+            z = jnp.zeros_like(t32)
+            out = jnp.dot(z.astype(jnp.bfloat16).reshape(-1, 128), K[0],
+                          preferred_element_type=jnp.float32)
+            out += jnp.dot(t.astype(jnp.bfloat16).reshape(-1, 128), K[1],
+                           preferred_element_type=jnp.float32)
+            return out
+        if interpret:
+            left = jnp.roll(t32, s, axis=1)
+            right = jnp.roll(t32, -s, axis=1)
+        else:
+            left = pltpu.roll(t32, s, axis=1)
+            right = pltpu.roll(t32, L - s, axis=1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (H, L), 1)
+        left = jnp.where(lane < s, 0.0, left)
+        right = jnp.where(lane >= L - s, 0.0, right)
+        out = jnp.dot(left.astype(jnp.bfloat16).reshape(-1, 128), K[0],
+                      preferred_element_type=jnp.float32)
+        out += jnp.dot(t.astype(jnp.bfloat16).reshape(-1, 128), K[1],
+                       preferred_element_type=jnp.float32)
+        out += jnp.dot(right.astype(jnp.bfloat16).reshape(-1, 128), K[2],
+                       preferred_element_type=jnp.float32)
+        return out
+
+    to_plane = lambda v: v.reshape(H, L)
+    y = conv_h(x, Kh1, 1)
+    y = jnp.maximum(y + b1, 0.0).astype(jnp.bfloat16)
+    y = conv_w(to_plane(y), Kw1, 1)
+    y = jnp.maximum(y * m1 + a1, 0.0).astype(jnp.bfloat16)
+    y = conv_h(to_plane(y), Kh2, d)
+    y = jnp.maximum(y + b3, 0.0).astype(jnp.bfloat16)
+    y = conv_w(to_plane(y), Kw2, d)
+    y = y * m2 + a2
+    y = y + x.reshape(-1, 128).astype(jnp.float32)
+    return jnp.maximum(y, 0.0)
+
+
+_CONST_KEYS = ("Kh1", "Kw1", "Kh2", "Kw2", "b1", "m1", "a1", "b3", "m2", "a2")
+
+
+def _chain_kernel(*refs, H, L, C, dilations, interpret):
+    """n NB1D blocks back to back on one resident plane."""
+    n = len(dilations)
+    x_ref = refs[0]
+    out_ref = refs[-1]
+    x = x_ref[0]
+    for i in range(n):
+        consts = tuple(r[:] for r in refs[1 + i * 10: 1 + (i + 1) * 10])
+        y = _nb1d_body(x, consts, H=H, L=L, C=C, d=dilations[i],
+                       interpret=interpret)
+        x = y.astype(jnp.bfloat16).reshape(H, L)
+    out_ref[0] = x.astype(out_ref.dtype)
+
+
+def nb1d_chain(x: jax.Array, packed_list, dilations, *,
+               interpret: bool = False) -> jax.Array:
+    """Run a sequence of same-width NB1D blocks as ONE kernel.
+
+    Consecutive blocks (5x 64-ch encoder, 8x 128-ch dilated encoder, 2x
+    decoder stages — ERFNet.py:71-81,118-124) share a VMEM-resident plane:
+    HBM sees one read and one write for the whole chain instead of one per
+    block, and per-kernel launch overhead is paid once.
+
+    Args:
+      x: (B, H, W, C) activations.
+      packed_list: one `pack_nb1d` dict per block.
+      dilations: static per-block dilation list.
+    """
+    B, H, W, C = x.shape
+    L = W * C
+    xf = x.reshape(B, H, L)
+    n = len(packed_list)
+    full = lambda shape: pl.BlockSpec(shape, lambda b: tuple(0 for _ in shape),
+                                      memory_space=pltpu.VMEM)
+    in_specs = [pl.BlockSpec((1, H, L), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    args = [xf]
+    for p in packed_list:
+        for k in _CONST_KEYS:
+            args.append(p[k])
+            in_specs.append(full(p[k].shape))
+    kern = functools.partial(_chain_kernel, H=H, L=L, C=C,
+                             dilations=tuple(int(d) for d in dilations),
+                             interpret=interpret)
+    out = pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, H, L), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, L), x.dtype),
+        interpret=interpret,
+    )(*args)
+    return out.reshape(B, H, W, C)
+
+
+def nb1d_fused(x: jax.Array, packed: Dict, *, dilation: int | None = None,
+               interpret: bool = False) -> jax.Array:
+    """Apply one fused NB1D block (inference).
+
+    Args:
+      x: (B, H, W, C) activations, C dividing 128.
+      packed: constants from `pack_nb1d`. When the dict crosses a jit
+        boundary its "C"/"dilation" ints become tracers — pass `dilation`
+        explicitly there (C is taken from the static shape of x).
+    Returns:
+      (B, H, W, C) output activations, same dtype.
+    """
+    B, H, W, C = x.shape
+    d = int(dilation if dilation is not None else packed["dilation"])
+    L = W * C
+    xf = x.reshape(B, H, L)
+    full = lambda shape: pl.BlockSpec(shape, lambda b: tuple(0 for _ in shape),
+                                      memory_space=pltpu.VMEM)
+    kern = functools.partial(_nb1d_kernel, H=H, L=L, C=C, d=d,
+                             interpret=interpret)
+    out = pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, H, L), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full((3, 128, 128)), full((3, 128, 128)),
+            full((3, 128, 128)), full((3, 128, 128)),
+            full((1, 128)), full((1, 128)), full((1, 128)),
+            full((1, 128)), full((1, 128)), full((1, 128)),
+        ],
+        out_specs=pl.BlockSpec((1, H, L), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, L), x.dtype),
+        interpret=interpret,
+    )(xf, packed["Kh1"], packed["Kw1"], packed["Kh2"], packed["Kw2"],
+      packed["b1"], packed["m1"], packed["a1"], packed["b3"],
+      packed["m2"], packed["a2"])
+    return out.reshape(B, H, W, C)

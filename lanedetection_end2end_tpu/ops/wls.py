@@ -35,6 +35,23 @@ TPU redesign (this module):
    `reg_floor` adds a tiny diagonal relative to trace(Z) ON TOP of the
    user-facing `reg_ls`, replacing the reference's try/except batch skipping
    (Birds_Eye_View_Loss/main.py:213-219) and making every phase safe.
+
+5. Separable fast path: both reference homographies map image rows to rows
+   (M[1,0] = M[2,0] = 0 — the reference itself relies on this, computing
+   y' from y alone at Backprojection_Loss/Loss_crit.py:175). Then the BEV y
+   is constant along each row and the BEV x is LINEAR in the pixel column,
+   so every moment factorizes over rows:
+
+       Z[i,j] = sum_r Y_i(r) Y_j(r) * S0[r]
+       rhs[i] = sum_r Y_i(r) * (alpha[r] S1[r] + gamma[r] S0[r])
+
+   with S0[r] = sum_c w^2[r,c], S1[r] = sum_c w^2[r,c] * xs[c]. The whole
+   contraction collapses to ONE fused streaming pass over the weight maps
+   (two W-axis reductions, VPU/memory-bound) plus a (BC, 2H) x (2H, K)
+   matmul on negligible data — instead of a (BC, H*W) x (H*W, K) matmul
+   whose huge-K/tiny-MN shape the MXU executes at ~1% utilization. For
+   general (non row-aligned) homographies the Pallas streaming kernel
+   (ops/pallas_wls.py) or the plain XLA matmul handles the full grid.
 """
 
 from __future__ import annotations
@@ -44,6 +61,8 @@ import jax
 import jax.numpy as jnp
 
 from lanedetection_end2end_tpu.geometry import projective_grid
+from lanedetection_end2end_tpu.ops.pallas_wls import wls_moments
+from lanedetection_end2end_tpu.ops.solve import spd_solve
 
 
 def _vandermonde(y: np.ndarray, order: int) -> np.ndarray:
@@ -70,7 +89,8 @@ class WLSFitter:
     def __init__(self, M: np.ndarray, height: int, width: int, order: int,
                  normalized: bool, reg_ls: float = 0.0,
                  reg_floor: float = 1e-8, use_cholesky: bool = False,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, use_pallas: bool | None = None,
+                 pallas_interpret: bool = False):
         if order not in (0, 1, 2, 3):
             raise NotImplementedError(
                 f"Requested order {order} for polynomial fit is not implemented")
@@ -80,6 +100,12 @@ class WLSFitter:
         self.reg_ls = float(reg_ls)
         self.reg_floor = float(reg_floor)
         self.dtype = dtype
+        # Pallas streaming-moments kernel: default on TPU (the XLA schedule
+        # for this (tiny M/N, huge K) contraction is ~50x slower there).
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        self.use_pallas = use_pallas
+        self.pallas_interpret = pallas_interpret
 
         grid = projective_grid(M, height, width, normalized)  # (N, 2) f64
         x_map = grid[:, 0]
@@ -104,32 +130,101 @@ class WLSFitter:
         basis = np.concatenate([prods, rhs], axis=1)  # (N, K)
         self.basis = jnp.asarray(basis, dtype=dtype)
         self.n_coeff = o1
+
+        # -- separable row-factorized path (module docstring, point 5) ----
+        M = np.asarray(M, dtype=np.float64)
+        self.separable = abs(M[1, 0]) < 1e-12 and abs(M[2, 0]) < 1e-12
+        if self.separable:
+            if normalized:
+                xs = np.linspace(0.0, 1.0 - 1.0 / width, width)
+                ys = np.linspace(0.0, 1.0 - 1.0 / height, height)
+            else:
+                xs = np.arange(width, dtype=np.float64)
+                ys = np.arange(height, dtype=np.float64)
+            D = M[2, 1] * ys + M[2, 2]                    # (H,)
+            alpha = M[0, 0] / D                           # x' = alpha*xs+gamma
+            gamma = (M[0, 1] * ys + M[0, 2]) / D
+            # Center/normalize the column coordinate: S1 = sum w^2*(xs-x0)/sx
+            # stays balanced around 0, avoiding f32 cancellation between the
+            # alpha- and gamma-contractions for pixel-scale coordinates.
+            x0 = float(xs.mean())
+            sx = max(float(np.abs(xs - x0).max()), 1e-12)
+            y_rows = (M[1, 1] * ys + M[1, 2]) / D
+            y_rows = (1.0 - y_rows) if normalized else (
+                float(height - 1) - y_rows)
+            Yr = _vandermonde(y_rows / scale, order)      # (H, o1)
+            # coeff rows: [S0-block (H, K); S1-block (H, K)]
+            c0 = np.concatenate(
+                [(Yr[:, :, None] * Yr[:, None, :]).reshape(height, o1 * o1),
+                 Yr * (gamma + alpha * x0)[:, None]], axis=1)
+            c1 = np.concatenate(
+                [np.zeros((height, o1 * o1)), Yr * (alpha * sx)[:, None]],
+                axis=1)
+            self._sep_coeff = jnp.asarray(
+                np.concatenate([c0, c1], axis=0), dtype=dtype)  # (2H, K)
+            self._sep_xs = jnp.asarray((xs - x0) / sx, dtype=dtype)
         # reg_ls acts on the UNSCALED Z; in scaled coords it becomes a
         # diagonal of reg_ls * scale^(-2p) (see module docstring, point 3).
         self._reg_diag = jnp.asarray(self.reg_ls * scale ** (-2.0 * powers),
                                      dtype=dtype)
 
     # ------------------------------------------------------------------
-    def __call__(self, wmaps: jax.Array) -> jax.Array:
+    def __call__(self, wmaps: jax.Array, layout: str = "nchw") -> jax.Array:
         """Fit all lanes of all images at once.
 
         Args:
-          wmaps: activated weight maps, shape (B, C, H, W) or (B, C, N).
+          wmaps: activated weight maps — (B, C, H, W) / (B, C, N) with
+            layout='nchw', or (B, H, W, C) with layout='nhwc'. The NHWC form
+            is the TPU-native one: the separable path reduces over W straight
+            from the backbone's channels-last output, skipping the C-minor
+            transpose (a pathological relayout on TPU — measured ~1 ms/batch
+            at 8x4x256x512, more than the entire ERFNet forward).
         Returns:
           beta: (B, C, order+1) polynomial coefficients, highest power first
             (same layout as the reference's beta0..beta3 stacked over C).
         """
         o1 = self.n_coeff
-        B, C = wmaps.shape[0], wmaps.shape[1]
-        w2 = (wmaps * wmaps).reshape(B * C, -1).astype(self.dtype)
-        # ONE large matmul on the MXU; highest precision — the reduction over
-        # H*W pixels is the numerically critical step.
-        moments = jax.lax.dot_general(
-            w2, self.basis,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )  # (B*C, K)
+        if layout == "nhwc":
+            B, C = wmaps.shape[0], wmaps.shape[-1]
+            if not self.separable:
+                wmaps = jnp.transpose(wmaps, (0, 3, 1, 2))
+        else:
+            B, C = wmaps.shape[0], wmaps.shape[1]
+        if self.separable:
+            w2 = (wmaps * wmaps).astype(self.dtype)
+            if layout == "nhwc":
+                # (B, H, W, C): reduce W on axis 2; tiny (B,H,C) results
+                xs = self._sep_xs[None, None, :, None]
+                S0 = jnp.sum(w2, axis=2)                     # (B, H, C)
+                S1 = jnp.sum(w2 * xs, axis=2)
+                S0 = jnp.transpose(S0, (0, 2, 1))            # (B, C, H)
+                S1 = jnp.transpose(S1, (0, 2, 1))
+            else:
+                w2 = w2.reshape(B * C, self.height, self.width)
+                S0 = jnp.sum(w2, axis=-1)
+                S1 = jnp.sum(w2 * self._sep_xs[None, None, :], axis=-1)
+            S = jnp.concatenate(
+                [S0.reshape(B * C, -1), S1.reshape(B * C, -1)], axis=-1)
+            moments = jax.lax.dot_general(
+                S, self._sep_coeff,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+        elif self.use_pallas:
+            w = wmaps.reshape(B * C, -1).astype(self.dtype)
+            # streaming fused square+contract kernel (ops/pallas_wls.py)
+            moments = wls_moments(w, self.basis,
+                                  interpret=self.pallas_interpret)
+        else:
+            w = wmaps.reshape(B * C, -1).astype(self.dtype)
+            # ONE large matmul on the MXU; highest precision — the reduction
+            # over H*W pixels is the numerically critical step.
+            moments = jax.lax.dot_general(
+                w * w, self.basis,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )  # (B*C, K)
         Z = moments[:, :o1 * o1].reshape(B * C, o1, o1)
         X = moments[:, o1 * o1:]
 
@@ -140,11 +235,11 @@ class WLSFitter:
         diag = self._reg_diag[None, :] + floor  # (B*C, o1)
         Z = Z + jnp.eye(o1, dtype=jnp.float32)[None] * diag[:, None, :]
 
-        if self.use_cholesky:
-            chol = jax.scipy.linalg.cholesky(Z, lower=True)
-            beta_s = jax.scipy.linalg.cho_solve((chol, True), X[..., None])[..., 0]
-        else:
-            beta_s = jnp.linalg.solve(Z, X[..., None])[..., 0]
+        # Z is SPD by construction; the unrolled Cholesky (ops/solve.py) is
+        # microseconds where batched LU costs milliseconds on TPU, and it IS
+        # the --use_cholesky path of the reference (gels.py) — both flag
+        # settings share it.
+        beta_s = spd_solve(Z, X)
 
         beta = beta_s * jnp.asarray(self._unscale, dtype=beta_s.dtype)[None, :]
         return beta.reshape(B, C, o1)
