@@ -1,0 +1,260 @@
+"""Numerical parity against the actual PyTorch reference implementation.
+
+Imports the reference modules from /root/reference (CPU torch) and checks
+our JAX ops produce the same numbers — the BASELINE.json contract ("area
+metric within 1e-5 of the reference"). Skipped wholesale if the reference
+tree or torch is unavailable.
+"""
+
+import importlib.util
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference"
+BEV = os.path.join(REF, "Birds_Eye_View_Loss")
+BP = os.path.join(REF, "Backprojection_Loss")
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(BEV),
+                                reason="reference tree not mounted")
+
+
+def _import_tree(tree, name):
+    """Import `Loss_crit` and `Networks.LSQ_layer` of one reference tree
+    under a unique module alias (both trees reuse the same module names)."""
+    saved_path = list(sys.path)
+    saved_mods = {k: v for k, v in sys.modules.items()
+                  if k in ("Loss_crit", "Networks") or k.startswith("Networks.")}
+    for k in saved_mods:
+        del sys.modules[k]
+    sys.path.insert(0, tree)
+    try:
+        spec = importlib.util.spec_from_file_location(
+            f"{name}_loss_crit", os.path.join(tree, "Loss_crit.py"))
+        loss_crit = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(loss_crit)
+        lsq = None
+        if name == "bev":
+            import Networks.LSQ_layer as lsq  # noqa: F401
+            lsq = sys.modules["Networks.LSQ_layer"]
+        return loss_crit, lsq
+    finally:
+        sys.path[:] = saved_path
+        for k in ("Loss_crit", "Networks"):
+            sys.modules.pop(k, None)
+        for k in list(sys.modules):
+            if k.startswith("Networks."):
+                del sys.modules[k]
+        sys.modules.update(saved_mods)
+
+
+@pytest.fixture(scope="module")
+def bev():
+    return _import_tree(BEV, "bev")
+
+
+@pytest.fixture(scope="module")
+def bp():
+    return _import_tree(BP, "bp")
+
+
+# ----------------------------------------------------------------------
+# Exact-area metric (Loss_crit.polynomial.trapezoidal)
+# ----------------------------------------------------------------------
+
+def test_trapezoidal_metric_parity(bev):
+    from lanedetection_end2end_tpu.ops import trapezoidal_area
+    loss_crit, _ = bev
+    rng = np.random.default_rng(0)
+    pred = rng.normal(0.5, 0.2, (6, 3)).astype(np.float32)
+    gt = rng.normal(0.5, 0.2, (6, 3)).astype(np.float32)
+    ref = loss_crit.polynomial(torch.tensor(pred)).trapezoidal(
+        loss_crit.polynomial(torch.tensor(gt)))
+    ours = np.asarray(trapezoidal_area(jnp.asarray(pred), jnp.asarray(gt)))
+    np.testing.assert_allclose(ours, ref.numpy(), rtol=1e-5, atol=1e-7)
+
+
+# ----------------------------------------------------------------------
+# Area / MSE losses
+# ----------------------------------------------------------------------
+
+@pytest.mark.parametrize("order,weight_funct", [
+    (2, "none"), (2, "linear"), (2, "quadratic"), (1, "none")])
+def test_area_loss_parity(bev, order, weight_funct):
+    from lanedetection_end2end_tpu.ops import area_loss
+    loss_crit, _ = bev
+    rng = np.random.default_rng(1)
+    o1 = order + 1
+    pred = rng.normal(0.5, 0.2, (8, o1)).astype(np.float32)
+    gt = rng.normal(0.5, 0.2, (8, o1)).astype(np.float32)
+    gt[5] = 0.0  # absent lane: masked out (Loss_crit.py:131-133)
+    crit = loss_crit.Area_Loss(order, weight_funct)
+    # the reference's `.byte()` mask predates torch's bool-only masked_select
+    orig_ms = torch.masked_select
+    torch.masked_select = lambda inp, mask: orig_ms(inp, mask.bool())
+    try:
+        ref = crit(torch.tensor(pred).unsqueeze(-1), torch.tensor(gt))
+    finally:
+        torch.masked_select = orig_ms
+    ours = np.asarray(area_loss(jnp.asarray(pred), jnp.asarray(gt),
+                                order=order, weight_funct=weight_funct))
+    np.testing.assert_allclose(ours, float(ref), rtol=1e-5, atol=1e-7)
+
+
+def test_mse_loss_parity(bev):
+    from lanedetection_end2end_tpu.ops import mse_params_loss
+    loss_crit, _ = bev
+    opts = types.SimpleNamespace(no_cuda=True)
+    crit = loss_crit.MSE_Loss(opts)
+    rng = np.random.default_rng(2)
+    pred = rng.normal(size=(4, 3)).astype(np.float32)
+    gt = rng.normal(size=(4, 3)).astype(np.float32)
+    ref = crit(torch.tensor(pred).unsqueeze(-1), torch.tensor(gt))
+    ours = np.asarray(mse_params_loss(jnp.asarray(pred), jnp.asarray(gt)))
+    np.testing.assert_allclose(ours, float(ref), rtol=1e-6)
+
+
+# ----------------------------------------------------------------------
+# Backprojection loss (BP tree)
+# ----------------------------------------------------------------------
+
+def test_backprojection_loss_parity(bp):
+    from lanedetection_end2end_tpu.ops import BackprojectionLoss
+    loss_crit, _ = bp
+    opts = types.SimpleNamespace(resize=256, no_mapping=False, order=3,
+                                 batch_size=4, no_cuda=True)
+    ref_crit = loss_crit.backprojection_loss(opts)
+    ours_crit = BackprojectionLoss(resize=256, order=3)
+    rng = np.random.default_rng(3)
+    # realistic coefficient scales: x ~ hundreds of BEV pixels
+    beta = np.stack([rng.normal(0, 1e-7, 4), rng.normal(0, 1e-4, 4),
+                     rng.normal(0, 1e-2, 4),
+                     rng.uniform(100, 400, 4)], axis=1).astype(np.float64)
+    x_gt = rng.uniform(0, 511, (4, 56)).astype(np.float64)
+    valid = (rng.uniform(size=(4, 56)) > 0.3).astype(np.float64)
+    ref_loss, ref_xcal = ref_crit(
+        torch.tensor(beta).unsqueeze(-1), torch.tensor(x_gt),
+        torch.tensor(valid))
+    our_loss, our_xcal = ours_crit(jnp.asarray(beta, jnp.float32),
+                                   jnp.asarray(x_gt, jnp.float32),
+                                   jnp.asarray(valid, jnp.float32))
+    np.testing.assert_allclose(np.asarray(our_xcal), ref_xcal.numpy(),
+                               rtol=1e-4, atol=5e-3)
+    np.testing.assert_allclose(float(our_loss), float(ref_loss),
+                               rtol=5e-4)
+
+
+# ----------------------------------------------------------------------
+# Weighted least squares: full reference path (grid generator + WLS module)
+# ----------------------------------------------------------------------
+
+@pytest.mark.parametrize("order", [1, 2])
+def test_wls_full_path_parity(bev, order):
+    from lanedetection_end2end_tpu.geometry import bev_matrices_normalized
+    from lanedetection_end2end_tpu.ops import WLSFitter
+    _, lsq = bev
+    B, C, H, W = 2, 4, 64, 128
+    size, M, M_inv = lsq.Init_Projective_transform(C, B, H)
+    size = torch.Size([B, C, H, W])
+    gridgen = lsq.ProjectiveGridGenerator(size, M, no_cuda=True)
+    wls = lsq.Weighted_least_squares(size, C, order, no_cuda=True,
+                                     reg_ls=1e-5)
+    grid = gridgen(M)
+
+    rng = np.random.default_rng(4)
+    wmaps = np.zeros((B, C, H, W), dtype=np.float32)
+    ys = np.arange(H)
+    for b in range(B):
+        for c in range(C):
+            xs = np.clip((0.3 + 0.1 * c) * W + 0.05 * ys
+                         + rng.normal(0, .5, H), 0, W - 1)
+            wmaps[b, c, ys, xs.astype(int)] = rng.uniform(0.5, 1.0, H)
+    t_w = torch.tensor(wmaps.reshape(B, C, H * W))
+    beta0, beta1, beta2, beta3 = wls(t_w, grid)
+    ref_beta = np.stack([b.squeeze(-1).numpy()
+                         for b in (beta0, beta1, beta2, beta3)], axis=1)
+
+    our_M, _ = bev_matrices_normalized()
+    fitter = WLSFitter(our_M, H, W, order, normalized=True, reg_ls=1e-5,
+                       reg_floor=0.0)
+    ours = np.asarray(fitter(jnp.asarray(wmaps)))
+    np.testing.assert_allclose(ours, ref_beta, rtol=5e-3, atol=5e-4)
+
+
+def test_area_metric_within_1e5_of_reference(bev):
+    """The BASELINE.json acceptance: trapezoidal area metric computed from
+    our fit vs from the reference's fit agrees within 1e-5."""
+    from lanedetection_end2end_tpu.geometry import bev_matrices_normalized
+    from lanedetection_end2end_tpu.ops import WLSFitter, trapezoidal_area
+    loss_crit, lsq = bev
+    B, C, H, W = 2, 2, 64, 128
+    size = torch.Size([B, C, H, W])
+    _, M, _ = lsq.Init_Projective_transform(C, B, H)
+    gridgen = lsq.ProjectiveGridGenerator(size, M, no_cuda=True)
+    wls = lsq.Weighted_least_squares(size, C, 2, no_cuda=True, reg_ls=1e-5)
+    grid = gridgen(M)
+
+    rng = np.random.default_rng(5)
+    wmaps = np.zeros((B, C, H, W), dtype=np.float32)
+    ys = np.arange(H)
+    for b in range(B):
+        for c in range(C):
+            xs = np.clip((0.4 + 0.2 * c) * W + 0.05 * ys
+                         + rng.normal(0, .5, H), 0, W - 1)
+            wmaps[b, c, ys, xs.astype(int)] = rng.uniform(0.5, 1.0, H)
+    beta0, beta1, _, _ = wls(torch.tensor(wmaps.reshape(B, C, H * W)), grid)
+
+    gt = rng.normal(0.5, 0.1, (B, 2, 3)).astype(np.float32)
+    ref_trap = (loss_crit.polynomial(beta0.squeeze(-1)).trapezoidal(
+                    loss_crit.polynomial(torch.tensor(gt[:, 0])))
+                + loss_crit.polynomial(beta1.squeeze(-1)).trapezoidal(
+                    loss_crit.polynomial(torch.tensor(gt[:, 1])))) / 2
+    ref_metric = float(ref_trap.mean())
+
+    our_M, _ = bev_matrices_normalized()
+    fitter = WLSFitter(our_M, H, W, 2, normalized=True, reg_ls=1e-5,
+                       reg_floor=0.0)
+    beta = np.asarray(fitter(jnp.asarray(wmaps)))
+    ours = (np.asarray(trapezoidal_area(jnp.asarray(beta[:, 0]),
+                                        jnp.asarray(gt[:, 0])))
+            + np.asarray(trapezoidal_area(jnp.asarray(beta[:, 1]),
+                                          jnp.asarray(gt[:, 1])))) / 2
+    our_metric = float(ours.mean())
+    assert abs(our_metric - ref_metric) < 1e-5
+
+
+# ----------------------------------------------------------------------
+# Segmentation CE semantics vs torch
+# ----------------------------------------------------------------------
+
+def test_weighted_ce_matches_torch():
+    from lanedetection_end2end_tpu.ops import weighted_cross_entropy
+    rng = np.random.default_rng(6)
+    logits = rng.normal(size=(2, 8, 16, 5)).astype(np.float32)
+    targets = rng.integers(0, 5, (2, 8, 16))
+    weights = np.array([1.0] + [30.0] * 4, dtype=np.float32)
+    # torch CE over NCHW (Backprojection_Loss/Loss_crit.py:64-65)
+    ref = torch.nn.CrossEntropyLoss(torch.tensor(weights))(
+        torch.tensor(logits.transpose(0, 3, 1, 2)), torch.tensor(targets))
+    ours = np.asarray(weighted_cross_entropy(
+        jnp.asarray(logits), jnp.asarray(targets), jnp.asarray(weights)))
+    np.testing.assert_allclose(ours, float(ref), rtol=1e-5)
+
+
+def test_bce_matches_torch():
+    from lanedetection_end2end_tpu.ops import bce_with_logits
+    rng = np.random.default_rng(7)
+    logits = rng.normal(size=(4, 256)).astype(np.float32)
+    targets = (rng.uniform(size=(4, 256)) > 0.5).astype(np.float32)
+    ref = torch.nn.BCEWithLogitsLoss()(torch.tensor(logits),
+                                       torch.tensor(targets))
+    ours = np.asarray(bce_with_logits(jnp.asarray(logits),
+                                      jnp.asarray(targets)))
+    np.testing.assert_allclose(ours, float(ref), rtol=1e-6)
