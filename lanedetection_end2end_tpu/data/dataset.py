@@ -35,21 +35,34 @@ def _decode_and_resize(img_path: str, gt_path: Optional[str], resize: int):
     """Crop the bottom 640 rows, resize to (resize, 2*resize).
 
     Mirrors F.crop(image, h-640, 0, 640, w) + F.resize(...) at
-    Load_Data_new.py:128-131 (BP) / :77-80 (BEV).
+    Load_Data_new.py:128-131 (BP) / :77-80 (BEV). The resample + normalize
+    hot path runs in the native C++ library when available
+    (data/native.py, within 1/255 of PIL); PIL otherwise.
     """
+    from lanedetection_end2end_tpu.data import native
+
     with open(img_path, "rb") as f:
         image = Image.open(f).convert("RGB")
     w, h = image.size
-    image = image.crop((0, h - 640, w, h))
-    image = image.resize((2 * resize, resize), Image.BILINEAR)
+    use_native = native.available()
+    if use_native:
+        arr = np.asarray(image, dtype=np.uint8)[h - 640:]
+        img_out = native.resample_to_f32(arr, resize, 2 * resize)
+    else:
+        image = image.crop((0, h - 640, w, h))
+        image = image.resize((2 * resize, resize), Image.BILINEAR)
+        img_out = np.asarray(image, dtype=np.float32) / 255.0
     if gt_path is None:
-        return np.asarray(image, dtype=np.float32) / 255.0, None
+        return img_out, None
     with open(gt_path, "rb") as f:
         gt = Image.open(f).convert("P")
+    if use_native:
+        gt_arr = np.asarray(gt, dtype=np.uint8)[h - 640:]
+        gt_out = native.resize_nearest_u8(gt_arr, resize, 2 * resize)
+        return img_out, gt_out.astype(np.int32)
     gt = gt.crop((0, h - 640, w, h))
     gt = gt.resize((2 * resize, resize), Image.NEAREST)
-    return (np.asarray(image, dtype=np.float32) / 255.0,
-            np.asarray(gt, dtype=np.int32).copy())
+    return img_out, np.asarray(gt, dtype=np.int32).copy()
 
 
 class LaneDataset:
