@@ -63,19 +63,52 @@ def bench_batch_size(batch_size: int, dtype, warmup: int = 5,
     return batch_size * iters / dt
 
 
+def bench_train_step(batch_size: int, warmup: int = 3, iters: int = 20
+                     ) -> float:
+    """Training throughput (img/s): full jitted e2e train step (fwd + bwd +
+    adam + BN stats) on the flagship config."""
+    from lanedetection_end2end_tpu.data import SyntheticLanes
+    from lanedetection_end2end_tpu.train import define_optim, make_train_step
+    from lanedetection_end2end_tpu.train.state import init_train_state
+
+    cfg = train_sh_config(resize=256, batch_size=batch_size, reg_ls=1.0)
+    lanenet = LaneNet(cfg, dtype=jnp.bfloat16)
+    with jax.default_device(jax.devices("cpu")[0]):
+        variables = lanenet.init(jax.random.PRNGKey(0))
+    variables = jax.device_put(jax.device_get(variables), jax.devices()[0])
+    tx = define_optim(cfg.optimizer, cfg.learning_rate)
+    state = jax.device_put(init_train_state(variables, tx), jax.devices()[0])
+    step = make_train_step(lanenet, cfg, tx, "e2e")
+    batch = jax.device_put(
+        SyntheticLanes(batch_size, cfg.resize, cfg.nclasses, "bp").batch())
+    rng = jax.random.PRNGKey(1)
+    for _ in range(warmup):
+        state, m = step(state, batch, rng)
+    jax.block_until_ready(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, batch, rng)
+    jax.block_until_ready(m["loss"])
+    return batch_size * iters / (time.perf_counter() - t0)
+
+
 def main():
     platform = jax.devices()[0].platform
     sweep = tuple(int(b) for b in os.environ.get(
         "BENCH_BATCH_SIZES", "8").split(","))
     dtype = (jnp.float32 if os.environ.get("BENCH_DTYPE") == "f32"
              else jnp.bfloat16)
+    mode = os.environ.get("BENCH_MODE", "infer")
     best_tp, best_bs = 0.0, sweep[0]
     for bs in sweep:
-        tp = bench_batch_size(bs, dtype)
+        tp = (bench_train_step(bs) if mode == "train"
+              else bench_batch_size(bs, dtype))
         if tp > best_tp:
             best_tp, best_bs = tp, bs
+    name = ("train_images_per_sec_per_chip_256x512" if mode == "train"
+            else "inference_images_per_sec_per_chip_256x512")
     print(json.dumps({
-        "metric": f"inference_images_per_sec_per_chip_256x512_bs{best_bs}_{platform}",
+        "metric": f"{name}_bs{best_bs}_{platform}",
         "value": round(best_tp, 2),
         "unit": "images/sec",
         "vs_baseline": round(best_tp / BASELINE_IMG_PER_SEC, 3),

@@ -68,6 +68,31 @@ def make_infer_fn(lanenet, cfg: LaneConfig, projections: Projections,
     return infer
 
 
+_COLORMAP = [(255, 0, 0), (0, 255, 0), (255, 255, 0), (0, 0, 255),
+             (0, 128, 128)]  # test.py:31
+
+
+def _draw_test_image(json_line: dict, test_dir: str, save_path: str,
+                     im_id: int) -> None:
+    """--draw_testset visualization: predicted points drawn on the original
+    test image (Backprojection_Loss/test.py:101-121), without cv2."""
+    from PIL import Image, ImageDraw
+    out_dir = os.path.join(save_path, "example", "testset")
+    mkdir_if_missing(out_dir)
+    img_path = os.path.join(test_dir, json_line["raw_file"])
+    if not os.path.exists(img_path):
+        return
+    with open(img_path, "rb") as f:
+        img = Image.open(f).convert("RGB")
+    draw = ImageDraw.Draw(img)
+    for lane_i, lane in enumerate(json_line["lanes"]):
+        color = _COLORMAP[lane_i % len(_COLORMAP)]
+        for x, y in zip(lane, json_line["h_samples"]):
+            if x != -2:
+                draw.ellipse((x - 3, y - 3, x + 3, y + 3), fill=color)
+    img.save(os.path.join(out_dir, f"{im_id}.jpg"))
+
+
 def test_model(loader, lanenet, variables, cfg: LaneConfig,
                gt_file: Optional[str] = None,
                save_path: Optional[str] = None,
@@ -116,6 +141,8 @@ def test_model(loader, lanenet, variables, cfg: LaneConfig,
             json_line["run_time"] = 20
             json.dump(json_line, jsonFile)
             jsonFile.write("\n")
+            if cfg.draw_testset:
+                _draw_test_image(json_line, cfg.test_dir, save_path, im_id)
 
     acc = LaneEval.bench_one_submit(test_set_file, gt_file)
     if verbose:

@@ -1,0 +1,275 @@
+"""Fully fused ERFNet graph: encoder and decoder as single Pallas kernels.
+
+Serving-path culmination of ops/pallas_nb1d.py + ops/pallas_backbone.py:
+per image, the ENTIRE encoder (initial downsampler -> down1 -> 5x NB1D-64 ->
+down2 -> 8x dilated NB1D-128) runs as one kernel with every intermediate
+plane resident in VMEM, and the ENTIRE decoder (up1 -> 2x NB1D-64 -> up2 ->
+2x NB1D-16 -> 2x2 ConvTranspose head -> activation -> row mask -> WLS row
+sums) as another. HBM sees: image in, encoder features out (for the
+line/horizon heads), and an (H, 2C) row-sum tensor out — the decoder's
+256x512 activations never leave the chip.
+
+The WLS row sums S0[c, r] = sum_w w2, S1[c, r] = sum_w w2 * xs feed
+WLSFitter's separable moment path (ops/wls.py point 5): beta =
+fitter.beta_from_rowsums(S0, S1).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lanedetection_end2end_tpu.config import LaneConfig
+from lanedetection_end2end_tpu.ops.pallas_backbone import (
+    body_downsampler, body_head, body_upsampler, pack_downsampler, pack_head,
+    pack_upsampler)
+from lanedetection_end2end_tpu.ops.pallas_nb1d import _nb1d_body, pack_nb1d
+
+_ENC_NB64 = [(f"nb64_{i}", 1) for i in range(5)]
+_ENC_NB128 = [(f"nb128_{j}_d{d}", d) for j in range(2) for d in (2, 4, 8, 16)]
+_DEC_NB64 = [("nb64_0", 1), ("nb64_1", 1)]
+_DEC_NB16 = [("nb16_0", 1), ("nb16_1", 1)]
+_NB_CONSTS = ("Kh1", "Kw1", "Kh2", "Kw2", "b1", "m1", "a1", "b3", "m2", "a2")
+
+
+# ----------------------------------------------------------------------
+# Packed-constants flattening (arrays -> kernel operands, statics kept)
+# ----------------------------------------------------------------------
+
+def _flatten_packed(tree) -> Tuple[List[Any], Any]:
+    arrays: List[Any] = []
+
+    def walk(node):
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return [walk(v) for v in node]
+        if isinstance(node, (int, float, str)) or node is None:
+            return node
+        arrays.append(node)
+        return ("__arr__", len(arrays) - 1)
+
+    return arrays, walk(tree)
+
+
+def _rebuild(struct, values, read):
+    if isinstance(struct, dict):
+        return {k: _rebuild(v, values, read) for k, v in struct.items()}
+    if isinstance(struct, list):
+        return [_rebuild(v, values, read) for v in struct]
+    if isinstance(struct, tuple) and len(struct) == 2 and struct[0] == "__arr__":
+        return read(values[struct[1]])
+    return struct
+
+
+# ----------------------------------------------------------------------
+# NB1D adapter: dict-packed -> _nb1d_body consts tuple
+# ----------------------------------------------------------------------
+
+def _nb(x, p, *, H, L, C, d, interpret):
+    consts = tuple(p[k] for k in _NB_CONSTS)
+    y = _nb1d_body(x.astype(jnp.bfloat16), consts, H=H, L=L, C=C, d=d,
+                   interpret=interpret)
+    return y.astype(jnp.bfloat16).reshape(H, L)
+
+
+# ----------------------------------------------------------------------
+# Encoder
+# ----------------------------------------------------------------------
+
+def pack_encoder(variables, cfg: LaneConfig):
+    v = jax.device_get(variables)
+    p = v["params"]["erfnet"]["encoder"]
+    s = v["batch_stats"]["erfnet"]["encoder"]
+    packed = {
+        "initial": pack_downsampler(p["initial_block"], s["initial_block"],
+                                    4, 16),
+        "down1": pack_downsampler(p["down1"], s["down1"], 16, 64),
+        "down2": pack_downsampler(p["down2"], s["down2"], 64, 128),
+    }
+    for name, d in _ENC_NB64 + _ENC_NB128:
+        packed[name] = pack_nb1d(p[name], s[name], d)
+        packed[name].pop("C"), packed[name].pop("dilation")
+    return _flatten_packed(packed)
+
+
+def _encoder_plane(x, c, *, H, W, interpret):
+    """x: (H, W*4) padded-RGB plane -> (H/8, (W/8)*128) encoder features."""
+    t = body_downsampler(x, c["initial"], H=H, W=W, interpret=interpret)
+    H2, W2 = H // 2, W // 2
+    t = body_downsampler(t, c["down1"], H=H2, W=W2, interpret=interpret)
+    H3, W3 = H2 // 2, W2 // 2
+    for name, d in _ENC_NB64:
+        t = _nb(t, c[name], H=H3, L=W3 * 64, C=64, d=d, interpret=interpret)
+    t = body_downsampler(t, c["down2"], H=H3, W=W3, interpret=interpret)
+    H4, W4 = H3 // 2, W3 // 2
+    for name, d in _ENC_NB128:
+        t = _nb(t, c[name], H=H4, L=W4 * 128, C=128, d=d,
+                interpret=interpret)
+    return t  # (H/8, (W/8)*128)
+
+
+def encoder_fused(images, packed_arrays, struct, cfg: LaneConfig,
+                  interpret: bool = False):
+    """images: (B, H, W, 3) -> encoder features (B, H/8, W/8, 128)."""
+    B, H, W, _ = images.shape
+    x = jnp.pad(images.astype(jnp.bfloat16),
+                ((0, 0), (0, 0), (0, 0), (0, 1)))  # RGB -> 4ch lane packing
+    xf = x.reshape(B, H, W * 4)
+    Ho, Lo = H // 8, (W // 8) * 128
+
+    def kernel(x_ref, *refs):
+        out_ref = refs[-1]
+        c = _rebuild(struct, refs[:-1], read=lambda r: r[:])
+        out_ref[0] = _encoder_plane(x_ref[0], c, H=H, W=W,
+                                    interpret=interpret)
+
+    full = lambda a: pl.BlockSpec(
+        a.shape, lambda b, _n=len(a.shape): (0,) * _n,
+        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, H, W * 4), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM)]
+        + [full(a) for a in packed_arrays],
+        out_specs=pl.BlockSpec((1, Ho, Lo), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Ho, Lo), jnp.bfloat16),
+        interpret=interpret,
+    )(xf, *packed_arrays)
+    return out.reshape(B, Ho, W // 8, 128)
+
+
+# ----------------------------------------------------------------------
+# Decoder (+ head + activation + mask + WLS row sums)
+# ----------------------------------------------------------------------
+
+def pack_decoder(variables, cfg: LaneConfig, fitter):
+    v = jax.device_get(variables)
+    p = v["params"]["erfnet"]["decoder"]
+    s = v["batch_stats"]["erfnet"]["decoder"]
+    out_ch = cfg.nclasses if cfg.pretrained else cfg.seg_out_channels
+    packed = {
+        "up1": pack_upsampler(p["up1"], s["up1"], 128, 64),
+        "up2": pack_upsampler(p["up2"], s["up2"], 64, 16),
+        "head": pack_head(p["output_conv"], 16, out_ch),
+    }
+    for name, d in _DEC_NB64 + _DEC_NB16:
+        packed[name] = pack_nb1d(p[name], s[name], d)
+        packed[name].pop("C"), packed[name].pop("dilation")
+
+    # WLS row-sum constants. Mosaic cannot hold tiny-lane (N, C) vectors,
+    # so the selection keeps 128 output lanes (channel c in lane c, rest 0)
+    # and the per-row block reduction is a (H, nblk*128) @ (nblk*128, 128)
+    # matmul; XLA slices the C meaningful lanes outside the kernel.
+    C = out_ch
+    W = cfg.image_width
+    L = W * C
+    g = 128 // C  # w per lane block
+    sel = np.zeros((128, 128), np.float32)
+    for w in range(g):
+        for c in range(C):
+            sel[w * C + c, c] = 1.0
+    nblk = L // 128
+    red = np.tile(np.eye(128, dtype=np.float32), (nblk, 1))  # (nblk*128, 128)
+    xs_n = np.asarray(fitter._sep_xs)  # (W,) normalized column coordinate
+    xs_lane = np.repeat(xs_n, C)[None, :]  # (1, L)
+    packed["sel"] = jnp.asarray(sel, jnp.float32)
+    packed["red"] = jnp.asarray(red, jnp.float32)
+    packed["xs"] = jnp.asarray(xs_lane, jnp.float32)
+    return _flatten_packed(packed)
+
+
+def _decoder_plane(enc, c, *, cfg: LaneConfig, interpret):
+    """enc (H/8, (W/8)*128) -> S (H, 256): [S0 | S1] row sums, channel c in
+    lanes c and 128+c."""
+    H, W = cfg.image_height, cfg.image_width
+    H4, W4 = H // 8, W // 8
+    out_ch = cfg.nclasses if cfg.pretrained else cfg.seg_out_channels
+    C = out_ch
+
+    t = body_upsampler(enc, c["up1"], H=H4, W=W4, interpret=interpret)
+    H3, W3 = H4 * 2, W4 * 2
+    for name, d in _DEC_NB64:
+        t = _nb(t, c[name], H=H3, L=W3 * 64, C=64, d=d, interpret=interpret)
+    t = body_upsampler(t, c["up2"], H=H3, W=W3, interpret=interpret)
+    H2, W2 = H3 * 2, W3 * 2
+    for name, d in _DEC_NB16:
+        t = _nb(t, c[name], H=H2, L=W2 * 16, C=16, d=d, interpret=interpret)
+    dec = body_head(t, c["head"], H=H2, W=W2, interpret=interpret)  # (H, W*C) f32
+
+    # activation -> (act * mask)^2, with the row mask applied to S below
+    act = cfg.activation_layer
+    if act == "square":
+        w2 = jnp.square(jnp.square(dec))
+    elif act == "relu":
+        w2 = jnp.square(jnp.maximum(dec, 0.0))
+    elif act == "abs":
+        w2 = jnp.square(dec)  # |x|^2 == x^2
+    elif act == "none":
+        w2 = jnp.square(dec)
+    elif act == "sigmoid":
+        w2 = jnp.square(jax.nn.sigmoid(dec))
+    elif act == "softplus":
+        w2 = jnp.square(jax.nn.softplus(dec))
+    else:
+        raise NotImplementedError(act)
+
+    L = W * C
+    nblk = L // 128
+    z0 = w2.astype(jnp.float32).reshape(-1, 128)
+    z1 = (w2 * c["xs"]).astype(jnp.float32).reshape(-1, 128)
+    p0 = jnp.dot(z0, c["sel"], preferred_element_type=jnp.float32)
+    p1 = jnp.dot(z1, c["sel"], preferred_element_type=jnp.float32)
+    # per-row reduction over the nblk partials, all at 128 lanes
+    s0 = jnp.dot(p0.reshape(H, nblk * 128), c["red"],
+                 preferred_element_type=jnp.float32)
+    s1 = jnp.dot(p1.reshape(H, nblk * 128), c["red"],
+                 preferred_element_type=jnp.float32)
+    # top-row mask: rows [0, ceil(resize * mask_pct)) contribute nothing
+    from math import ceil
+    zero_rows = ceil(cfg.resize * cfg.mask_percentage)
+    row = jax.lax.broadcasted_iota(jnp.int32, (H, 128), 0)
+    s0 = jnp.where(row < zero_rows, 0.0, s0)
+    s1 = jnp.where(row < zero_rows, 0.0, s1)
+    return jnp.concatenate([s0, s1], axis=1)  # (H, 256)
+
+
+def decoder_fused(enc, packed_arrays, struct, cfg: LaneConfig,
+                  interpret: bool = False):
+    """enc: (B, H/8, W/8, 128) -> S (B, H, 2*C) WLS row sums [S0 | S1]."""
+    B, H8, W8, _ = enc.shape
+    H = cfg.image_height
+    out_ch = cfg.nclasses if cfg.pretrained else cfg.seg_out_channels
+    encf = enc.reshape(B, H8, W8 * 128)
+
+    def kernel(x_ref, *refs):
+        out_ref = refs[-1]
+        c = _rebuild(struct, refs[:-1], read=lambda r: r[:])
+        out_ref[0] = _decoder_plane(x_ref[0], c, cfg=cfg,
+                                    interpret=interpret)
+
+    full = lambda a: pl.BlockSpec(
+        a.shape, lambda b, _n=len(a.shape): (0,) * _n,
+        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, H8, W8 * 128), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM)]
+        + [full(a) for a in packed_arrays],
+        out_specs=pl.BlockSpec((1, H, 256), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, 256), jnp.float32),
+        interpret=interpret,
+    )(encf, *packed_arrays)
+    # lanes 0..C-1 = S0 channels, 128..128+C-1 = S1 channels
+    return jnp.concatenate([out[:, :, :out_ch], out[:, :, 128:128 + out_ch]],
+                           axis=-1)

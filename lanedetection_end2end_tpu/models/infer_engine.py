@@ -43,20 +43,36 @@ _DEC_NB16 = [("nb16_0", 1), ("nb16_1", 1)]
 
 
 class FusedLaneNetEngine:
+    """mode='full': whole encoder / whole decoder as single Pallas kernels
+    (models/fused_graph.py) — decoder activations never touch HBM.
+    mode='blocks': per-stage NB1D chain kernels with XLA between (fallback,
+    also the path for non-separable homographies)."""
+
     def __init__(self, cfg: LaneConfig, dtype: Any = jnp.bfloat16,
-                 interpret: bool = False):
+                 interpret: bool = False, mode: str = "full"):
         self.cfg = cfg
         self.dtype = dtype
         self.interpret = interpret
-        # reuse LaneNet's constants (homography, WLS basis, row mask)
+        # full fusion needs the separable WLS path + mask folded into rows
         self._lanenet = LaneNet(cfg, dtype=dtype)
         self.fitter = self._lanenet.fitter
+        if mode == "full" and not self.fitter.separable:
+            mode = "blocks"
+        self.mode = mode
         self._mask = self._lanenet._mask
         self._act = activation_fn(cfg.activation_layer)
+        self._enc_struct = self._dec_struct = None
 
     # ------------------------------------------------------------------
     def prepare(self, variables) -> Dict:
-        """Fold BN stats + build lane-packed NB1D constants (host, once)."""
+        """Fold BN stats + build lane-packed constants (host, once)."""
+        if self.mode == "full":
+            from lanedetection_end2end_tpu.models.fused_graph import (
+                pack_decoder, pack_encoder)
+            enc_arrays, self._enc_struct = pack_encoder(variables, self.cfg)
+            dec_arrays, self._dec_struct = pack_decoder(variables, self.cfg,
+                                                        self.fitter)
+            return {"enc": enc_arrays, "dec": dec_arrays}
         v = jax.device_get(variables)
         enc_p = v["params"]["erfnet"]["encoder"]
         enc_s = v["batch_stats"]["erfnet"]["encoder"]
@@ -74,6 +90,31 @@ class FusedLaneNetEngine:
         return packed
 
     # ------------------------------------------------------------------
+    def _call_full(self, packed: Dict, variables, images):
+        from lanedetection_end2end_tpu.models.fused_graph import (
+            decoder_fused, encoder_fused)
+        cfg = self.cfg
+        enc = encoder_fused(images.astype(self.dtype), packed["enc"],
+                            self._enc_struct, cfg, interpret=self.interpret)
+        S = decoder_fused(enc, packed["dec"], self._dec_struct, cfg,
+                          interpret=self.interpret)  # (B, H, 2C)
+        C = cfg.nclasses if cfg.pretrained else cfg.seg_out_channels
+        S0 = jnp.transpose(S[:, :, :C], (0, 2, 1))
+        S1 = jnp.transpose(S[:, :, C:], (0, 2, 1))
+        beta = self.fitter.beta_from_rowsums(S0, S1)
+        line = horizon = None
+        if cfg.clas:
+            variant = "bev" if cfg.profile == "bev" else "bp"
+            line = Classification("line", resize=cfg.resize, variant=variant,
+                                  dtype=self.dtype).apply(
+                self._sub(variables, "line_classification"), enc,
+                train=False)
+            horizon = Classification("horizon", resize=cfg.resize,
+                                     variant=variant, dtype=self.dtype).apply(
+                self._sub(variables, "horizon_estimation"), enc, train=False)
+        return beta, line, horizon
+
+    # ------------------------------------------------------------------
     def _sub(self, variables, *path):
         p = variables["params"]
         s = variables["batch_stats"]
@@ -84,6 +125,8 @@ class FusedLaneNetEngine:
 
     def __call__(self, packed: Dict, variables, images) -> tuple:
         """images (B, H, W, 3) -> (beta, line_logits, horizon_logits)."""
+        if self.mode == "full":
+            return self._call_full(packed, variables, images)
         cfg = self.cfg
         x = images.astype(self.dtype)
         sub = lambda *path: self._sub(variables, "erfnet", *path)

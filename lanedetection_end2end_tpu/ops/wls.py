@@ -225,6 +225,33 @@ class WLSFitter:
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32,
             )  # (B*C, K)
+        return self._finish(moments, B, C)
+
+    # ------------------------------------------------------------------
+    def beta_from_rowsums(self, S0: jax.Array, S1: jax.Array) -> jax.Array:
+        """Fit from precomputed (already masked) W-axis row sums.
+
+        Args:
+          S0: (B, C, H) sums of w^2 per row; S1: same with the normalized
+            column coordinate folded in (the outputs of the fused decoder
+            kernel, models/fused_graph.py).
+        Returns: (B, C, order+1) coefficients.
+        """
+        assert self.separable, "row-sum fitting needs a row-aligned homography"
+        B, C = S0.shape[0], S0.shape[1]
+        S = jnp.concatenate([S0.reshape(B * C, -1), S1.reshape(B * C, -1)],
+                            axis=-1)
+        moments = jax.lax.dot_general(
+            S.astype(self.dtype), self._sep_coeff,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        return self._finish(moments, B, C)
+
+    # ------------------------------------------------------------------
+    def _finish(self, moments: jax.Array, B: int, C: int) -> jax.Array:
+        """Regularize + solve + unscale the fitted coefficients."""
+        o1 = self.n_coeff
         Z = moments[:, :o1 * o1].reshape(B * C, o1, o1)
         X = moments[:, o1 * o1:]
 

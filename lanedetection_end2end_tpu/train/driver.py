@@ -252,6 +252,7 @@ class Trainer:
                 # BP tree skips validation during the warm-up epochs
                 # (main.py:369-375)
                 self._checkpoint(epoch, score=None)
+                self._log_scalars(epoch, last)
                 continue
 
             # reference guards empty validation loaders
@@ -289,7 +290,19 @@ class Trainer:
                     print("LR plateaued, hence is set to {}".format(lr))
 
             self._checkpoint(epoch, score)
+            self._log_scalars(epoch, last)
         return last
+
+    def _log_scalars(self, epoch: int, metrics: Dict[str, float]) -> None:
+        """Per-epoch scalar log (the tensorboardX analog, BEV main.py:322-332
+        — written as JSONL so no TB dependency is needed; default-on, unlike
+        the reference's default-off --no_tb)."""
+        import json
+        rec = {"epoch": epoch + 1, "lr": get_lr(self.state.opt_state)}
+        rec.update({k: float(v) for k, v in metrics.items()})
+        with open(os.path.join(self.save_path, "scalars.jsonl"), "a") as f:
+            json.dump(rec, f)
+            f.write("\n")
 
     # ------------------------------------------------------------------
     def visualize_batch(self, batch, epoch: int, batch_idx: int = 0,

@@ -158,7 +158,8 @@ def test_nb1d_chain_matches_sequential():
                                rtol=2e-2, atol=2e-2)
 
 
-def test_fused_engine_matches_lanenet():
+@pytest.mark.parametrize("mode", ["blocks", "full"])
+def test_fused_engine_matches_lanenet(mode):
     from lanedetection_end2end_tpu.config import train_sh_config
     from lanedetection_end2end_tpu.models import LaneNet
     from lanedetection_end2end_tpu.models.infer_engine import \
@@ -168,14 +169,64 @@ def test_fused_engine_matches_lanenet():
     v = net.init(jax.random.PRNGKey(0))
     x = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 128, 3))
     ref = net.apply(v, x, phase="e2e", train=False)
-    eng = FusedLaneNetEngine(cfg, dtype=jnp.float32, interpret=True)
+    eng = FusedLaneNetEngine(cfg, dtype=jnp.float32, interpret=True,
+                             mode=mode)
     packed = eng.prepare(v)
     beta, line, hor = jax.jit(lambda p, v, x: eng(p, v, x))(packed, v, x)
     rel = (np.abs(np.asarray(beta) - np.asarray(ref.beta)).max()
            / np.abs(np.asarray(ref.beta)).max())
-    assert rel < 1e-2, rel
+    # the engine's matmuls are bf16 (f32 accumulate); 'full' chains 16 of
+    # them, so the tolerance is bf16-scale, not f32-scale
+    assert rel < 3e-2, (mode, rel)
     np.testing.assert_allclose(np.asarray(line), np.asarray(ref.line_logits),
                                rtol=1e-2, atol=1e-2)
     np.testing.assert_allclose(np.asarray(hor),
                                np.asarray(ref.horizon_logits),
                                rtol=1e-2, atol=1e-2)
+
+
+def test_fused_graph_bodies_match_flax():
+    """Downsampler / upsampler / head lane-map bodies vs flax modules."""
+    import flax.linen as nn
+    from lanedetection_end2end_tpu.models.erfnet import (
+        DownsamplerBlock, UpsamplerBlock)
+    from lanedetection_end2end_tpu.ops.pallas_backbone import (
+        body_downsampler, body_head, body_upsampler, pack_downsampler,
+        pack_head, pack_upsampler)
+
+    for (H, W, cin, cout, pad) in [(16, 32, 16, 64, 0), (8, 16, 64, 128, 0),
+                                   (32, 64, 3, 16, 1)]:
+        mod = DownsamplerBlock(cout)
+        x = jax.random.normal(jax.random.PRNGKey(cin), (1, H, W, cin))
+        v = mod.init({"params": jax.random.PRNGKey(cin + 1)}, x, train=False)
+        want = np.asarray(mod.apply(v, x, train=False))[0]
+        ci = cin + pad
+        packed = pack_downsampler(jax.device_get(v["params"]),
+                                  jax.device_get(v["batch_stats"]), ci, cout)
+        xin = jnp.pad(x[0], ((0, 0), (0, 0), (0, pad))) if pad else x[0]
+        got = np.asarray(body_downsampler(
+            xin.reshape(H, W * ci), packed, H=H, W=W, interpret=True)
+        ).reshape(H // 2, W // 2, cout)
+        assert np.abs(got - want).max() / np.abs(want).max() < 1e-2, (cin, cout)
+
+    for (H, W, cin, cout) in [(8, 16, 128, 64), (8, 16, 64, 16)]:
+        mod = UpsamplerBlock(cout)
+        x = jax.random.normal(jax.random.PRNGKey(cin), (1, H, W, cin))
+        v = mod.init({"params": jax.random.PRNGKey(cin + 1)}, x, train=False)
+        want = np.asarray(mod.apply(v, x, train=False))[0]
+        packed = pack_upsampler(jax.device_get(v["params"]),
+                                jax.device_get(v["batch_stats"]), cin, cout)
+        got = np.asarray(body_upsampler(
+            x[0].reshape(H, W * cin), packed, H=H, W=W, interpret=True)
+        ).reshape(2 * H, 2 * W, cout)
+        assert np.abs(got - want).max() / np.abs(want).max() < 1e-2, (cin, cout)
+
+    H, W, cin, cout = 16, 32, 16, 4
+    head = nn.ConvTranspose(cout, (2, 2), strides=(2, 2), padding="VALID")
+    x = jax.random.normal(jax.random.PRNGKey(10), (1, H, W, cin))
+    v = head.init(jax.random.PRNGKey(11), x)
+    want = np.asarray(head.apply(v, x))[0]
+    packed = pack_head(jax.device_get(v["params"]), cin, cout)
+    got = np.asarray(body_head(x[0].reshape(H, W * cin), packed, H=H, W=W,
+                               interpret=True)).reshape(2 * H, 2 * W, cout)
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-2
