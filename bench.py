@@ -22,6 +22,13 @@ import time
 
 import numpy as np
 import jax
+
+# Persistent compilation cache: the fused kernels take minutes to compile
+# over the remote-compile tunnel; cache them across bench invocations.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/lanedet_xla"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
 import jax.numpy as jnp
 
 from lanedetection_end2end_tpu.config import train_sh_config
