@@ -123,6 +123,34 @@ class FusedLaneNetEngine:
             s = s.get(k, {}) if isinstance(s, dict) else {}
         return {"params": p, "batch_stats": s}
 
+    def sharded_call(self, mesh):
+        """Jitted data-parallel serving step over a device mesh.
+
+        Pallas kernels are not auto-partitioned by GSPMD, so the engine is
+        wrapped in shard_map: batch split P('data'), constants/params
+        replicated, every chip running the fused kernels on its shard.
+        """
+        from jax.sharding import PartitionSpec as P
+        try:
+            from jax.experimental.shard_map import shard_map
+        except ImportError:  # newer jax
+            from jax import shard_map
+
+        def fn(p, v, x):
+            beta, line, hor = self(p, v, x)
+            out = {"beta": beta}
+            if self.cfg.clas:
+                out["line"] = line
+                out["horizon"] = hor
+            return out
+
+        out_specs = {"beta": P("data")}
+        if self.cfg.clas:
+            out_specs.update(line=P("data"), horizon=P("data"))
+        mapped = shard_map(fn, mesh=mesh, in_specs=(P(), P(), P("data")),
+                           out_specs=out_specs, check_rep=False)
+        return jax.jit(mapped)
+
     def __call__(self, packed: Dict, variables, images) -> tuple:
         """images (B, H, W, 3) -> (beta, line_logits, horizon_logits)."""
         if self.mode == "full":

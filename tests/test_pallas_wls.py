@@ -230,3 +230,31 @@ def test_fused_graph_bodies_match_flax():
     got = np.asarray(body_head(x[0].reshape(H, W * cin), packed, H=H, W=W,
                                interpret=True)).reshape(2 * H, 2 * W, cout)
     assert np.abs(got - want).max() / np.abs(want).max() < 1e-2
+
+
+def test_sharded_fused_engine():
+    """Fused engine under shard_map: per-shard Pallas kernels over the
+    8-device mesh produce the same fit as the single-device path."""
+    from lanedetection_end2end_tpu.config import train_sh_config
+    from lanedetection_end2end_tpu.models import LaneNet
+    from lanedetection_end2end_tpu.models.infer_engine import \
+        FusedLaneNetEngine
+    from lanedetection_end2end_tpu.parallel import (
+        make_mesh, replicate, shard_batch)
+    cfg = train_sh_config(resize=64, batch_size=8, reg_ls=1.0)
+    net = LaneNet(cfg, dtype=jnp.float32)
+    v = net.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (8, 64, 128, 3))
+    ref = net.apply(v, x, phase="e2e", train=False)
+    eng = FusedLaneNetEngine(cfg, dtype=jnp.float32, interpret=True,
+                             mode="full")
+    packed = eng.prepare(v)
+    mesh = make_mesh()
+    f = eng.sharded_call(mesh)
+    out = f(replicate(packed, mesh), replicate(v, mesh),
+            shard_batch(x, mesh))
+    beta = np.asarray(out["beta"])
+    rel = np.abs(beta - np.asarray(ref.beta)).max() / \
+        np.abs(np.asarray(ref.beta)).max()
+    assert rel < 3e-2, rel
+    assert len(out["beta"].sharding.device_set) == 8
