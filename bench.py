@@ -102,7 +102,7 @@ def bench_train_step(batch_size: int, warmup: int = 3, iters: int = 20
 def main():
     platform = jax.devices()[0].platform
     sweep = tuple(int(b) for b in os.environ.get(
-        "BENCH_BATCH_SIZES", "8").split(","))
+        "BENCH_BATCH_SIZES", "32").split(","))
     dtype = (jnp.float32 if os.environ.get("BENCH_DTYPE") == "f32"
              else jnp.bfloat16)
     mode = os.environ.get("BENCH_MODE", "infer")
