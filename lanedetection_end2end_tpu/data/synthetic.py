@@ -24,7 +24,7 @@ branch [1,2,0,3]):
 from __future__ import annotations
 
 import os
-from typing import Dict, Iterator, List, Optional
+from typing import Dict, Iterator
 
 import numpy as np
 from PIL import Image

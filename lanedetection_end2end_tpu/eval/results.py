@@ -13,7 +13,6 @@ records — not a device workload.
 from __future__ import annotations
 
 import json
-from typing import Optional
 
 import numpy as np
 

@@ -22,10 +22,9 @@ RNG, compute dtype configurable (bfloat16 backbone with f32 params/stats).
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Any
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 # torch BatchNorm2d defaults: eps given as 1e-3 in ERFNet, momentum 0.1

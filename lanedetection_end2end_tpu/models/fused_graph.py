@@ -16,8 +16,7 @@ fitter.beta_from_rowsums(S0, S1).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, List, Tuple
+from typing import Any, List, Tuple
 
 import numpy as np
 import jax

@@ -19,21 +19,18 @@ path runs under torch.no_grad()+model.eval() (Backprojection_Loss/test.py:38).
 
 from __future__ import annotations
 
-from math import ceil
 from typing import Any, Dict
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 
 from lanedetection_end2end_tpu.config import LaneConfig
 from lanedetection_end2end_tpu.models.erfnet import (
-    Decoder, DownsamplerBlock, UpsamplerBlock)
+    DownsamplerBlock, UpsamplerBlock)
 from lanedetection_end2end_tpu.models.heads import Classification
 from lanedetection_end2end_tpu.models.lanenet import LaneNet
 from lanedetection_end2end_tpu.ops.activations import activation_fn
-from lanedetection_end2end_tpu.ops.pallas_nb1d import (
-    nb1d_chain, nb1d_fused, pack_nb1d)
+from lanedetection_end2end_tpu.ops.pallas_nb1d import nb1d_chain, pack_nb1d
 
 # (name, dilation) of every NB1D block, per ERFNet.py:66-81 / :116-124
 _ENC_NB64 = [(f"nb64_{i}", 1) for i in range(5)]

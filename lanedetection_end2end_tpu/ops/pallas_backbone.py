@@ -32,7 +32,6 @@ from typing import Dict
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from lanedetection_end2end_tpu.ops.pallas_nb1d import fold_bn

@@ -44,7 +44,7 @@ from lanedetection_end2end_tpu.train.checkpoint import (
     latest_checkpoint_epoch, load_checkpoint, save_checkpoint, _ckpt_path)
 from lanedetection_end2end_tpu.train.optim import (
     Scheduler, define_optim, get_lr, set_lr)
-from lanedetection_end2end_tpu.train.state import TrainState, init_train_state
+from lanedetection_end2end_tpu.train.state import init_train_state
 from lanedetection_end2end_tpu.train.steps import (
     make_eval_step, make_train_step)
 from lanedetection_end2end_tpu.train.visualize import (

@@ -21,9 +21,8 @@ device.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Dict
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 
