@@ -76,7 +76,10 @@ class Trainer:
                       f"batch_size={cfg.batch_size}")
         else:
             self.mesh = None
-        self.lanenet = LaneNet(cfg)
+        import jax.numpy as jnp
+        dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                 else jnp.float32)
+        self.lanenet = LaneNet(cfg, dtype=dtype)
         rng = jax.random.PRNGKey(cfg.seed)
         variables = self.lanenet.init(rng)
         variables = init_weights(variables, cfg.weight_init, rng)

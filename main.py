@@ -25,6 +25,12 @@ import sys
 
 import jax
 
+# Persistent compilation cache (TPU compiles cost minutes over the
+# remote-compile tunnel; harmless elsewhere).
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/lanedet_xla"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
 from lanedetection_end2end_tpu.config import build_parser, config_from_args
 from lanedetection_end2end_tpu.data import (
     LaneDataset, LaneTestSet, get_loader, get_testloader,

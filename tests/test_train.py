@@ -225,3 +225,23 @@ def test_trainer_staged_pretraining_phases(root, tmp_path):
     trainer = Trainer(cfg, log_to_file=False, verbose=False)
     metrics = trainer.fit(train_loader, valid_loader, nepochs=3)
     assert np.isfinite(metrics["train_loss"])
+
+
+def test_bfloat16_training_step():
+    """compute_dtype='bfloat16' trains with finite loss (params stay f32)."""
+    cfg, net, tx, mesh, state = None, None, None, None, None
+    cfg = bp_defaults(resize=32, batch_size=8, nclasses=4, order=3,
+                      end_to_end=True, reg_ls=1.0, loss_policy="backproject",
+                      compute_dtype="bfloat16")
+    net = LaneNet(cfg, dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    variables = init_weights(net.init(rng), cfg.weight_init, rng)
+    leaf = jax.tree_util.tree_leaves(variables["params"])[0]
+    assert leaf.dtype == jnp.float32  # params stay f32, compute is bf16
+    tx = define_optim("adam", 1e-4)
+    mesh = make_mesh()
+    state = replicate(init_train_state(variables, tx), mesh)
+    step = make_train_step(net, cfg, tx, "e2e")
+    batch = shard_batch(SyntheticLanes(8, 32, 4, "bp").batch(), mesh)
+    state, metrics = step(state, batch, rng)
+    assert np.isfinite(float(metrics["loss"]))
