@@ -140,7 +140,11 @@ def scene_labels(coeffs: np.ndarray, rng: np.random.Generator,
 
     tusimple_lanes = [row.tolist() for row in lanes if (row != -2).any()]
     return {
-        "curves": {"poly_params": coeffs.tolist(), "raw_file": raw_file},
+        # BEV-tree Curve_parameters.json records double as the validation gt
+        # (Birds_Eye_View_Loss/Load_Data_new.py:449 + write_lsq_results reads
+        # lanes/h_samples from them), so they carry the full 4-row matrix.
+        "curves": {"poly_params": coeffs.tolist(), "lanes": lanes.tolist(),
+                   "h_samples": H_SAMPLES, "raw_file": raw_file},
         "ordered": {"lanes": lanes.tolist(), "h_samples": H_SAMPLES,
                     "raw_file": raw_file},
         "lines": {"lines": lines, "raw_file": raw_file},

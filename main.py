@@ -96,7 +96,10 @@ def main(argv=None):
 
     lanes_file = os.path.join(labels_dir, "lanes_ordered.json")
     line_file = os.path.join(labels_dir, "label_new.json")
-    labels_all = os.path.join(labels_dir, "label_data_all.json")
+    # validation gt source: BEV uses Curve_parameters.json records
+    # (Load_Data_new.py:449), BP uses label_data_all.json (:325)
+    labels_all = (cfg.json_file if cfg.profile == "bev"
+                  else os.path.join(labels_dir, "label_data_all.json"))
     line_file = line_file if os.path.exists(line_file) else None
 
     def dataset_factory(valid_idx):
