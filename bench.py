@@ -101,11 +101,13 @@ def bench_train_step(batch_size: int, warmup: int = 3, iters: int = 20
 
 def main():
     platform = jax.devices()[0].platform
+    mode = os.environ.get("BENCH_MODE", "infer")
+    # best measured: inference plateaus at bs32; the training step (layout-
+    # bound backward) is fastest at bs8
     sweep = tuple(int(b) for b in os.environ.get(
-        "BENCH_BATCH_SIZES", "32").split(","))
+        "BENCH_BATCH_SIZES", "32" if mode == "infer" else "8").split(","))
     dtype = (jnp.float32 if os.environ.get("BENCH_DTYPE") == "f32"
              else jnp.bfloat16)
-    mode = os.environ.get("BENCH_MODE", "infer")
     best_tp, best_bs = 0.0, sweep[0]
     for bs in sweep:
         tp = (bench_train_step(bs) if mode == "train"
