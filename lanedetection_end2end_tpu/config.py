@@ -119,7 +119,9 @@ class LaneConfig:
     num_devices: int = 0  # 0 = use all local devices for data parallelism
     prefetch: int = 2  # device prefetch depth of the input pipeline
     seed: int = 0
-    use_pallas_wls: bool = False  # fused Pallas path for WLS moments
+    # fused Pallas path for WLS moments: None = auto (on when the backend is
+    # TPU), True/False = force. Plumbed to ops.wls.WLSFitter(use_pallas=...).
+    use_pallas_wls: Optional[bool] = None
 
     # ------------------------------------------------------------------
     def __post_init__(self):
@@ -235,7 +237,7 @@ def train_sh_config(**kw) -> LaneConfig:
 
 _BOOL_STR_FLAGS = {  # flags that use the str2bool convention in the reference
     "pool", "draw_testset", "pretrained", "flip_on", "use_cholesky",
-    "end_to_end", "no_mapping", "clas", "cudnn", "no_tb",
+    "end_to_end", "no_mapping", "clas", "cudnn", "no_tb", "use_pallas_wls",
 }
 _STORE_TRUE_FLAGS = {
     "no_cuda", "no_dropout", "test_mode", "evaluate", "lr_decay", "no_ortho",

@@ -101,7 +101,8 @@ class LaneNet:
         self.M, self.M_inv = M, M_inv
         self.fitter = WLSFitter(M, H, W, cfg.order, normalized=normalized,
                                 reg_ls=cfg.reg_ls,
-                                use_cholesky=cfg.use_cholesky)
+                                use_cholesky=cfg.use_cholesky,
+                                use_pallas=cfg.use_pallas_wls)
         zero_rows = ceil(cfg.resize * cfg.mask_percentage)
         mask = np.ones((H, W), dtype=np.float32)
         mask[:zero_rows] = 0.0

@@ -178,6 +178,12 @@ class Trainer:
                       "Loss {loss.val:.8f} ({loss.avg:.8f})".format(
                           epoch + 1, i + 1, len(train_loader),
                           bt=batch_time, loss=meters["loss"]))
+            # periodic weight-map dump during training
+            # (Birds_Eye_View_Loss/main.py:291-295)
+            if cfg.save_freq and (i + 1) % cfg.save_freq == 0:
+                self.visualize_batch(batch, epoch, batch_idx=i + 1,
+                                     mode="train")
+                end = time.time()  # don't bill plotting to the next batch
         out = {k: m.avg for k, m in meters.items()}
         out["batch_time"] = batch_time.avg
         out["data_time"] = data_time.avg
@@ -197,8 +203,13 @@ class Trainer:
         meters: Dict[str, AverageMeter] = {}
         records = []
         counter = 0
-        for batch in self._prefetch(valid_loader):
+        for i, batch in enumerate(self._prefetch(valid_loader)):
             metrics, outputs = step(self.state, batch)
+            # weight-map dump every 25 validation batches
+            # (Birds_Eye_View_Loss/main.py:477-481)
+            if (i + 1) % 25 == 0:
+                self.visualize_batch(batch, epoch, batch_idx=i + 1,
+                                     mode="valid")
             for k, v in metrics.items():
                 meters.setdefault(k, AverageMeter()).update(
                     float(v), cfg.effective_val_batch_size)

@@ -245,3 +245,33 @@ def test_bfloat16_training_step():
     batch = shard_batch(SyntheticLanes(8, 32, 4, "bp").batch(), mesh)
     state, metrics = step(state, batch, rng)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_save_freq_visualization_cadence(root, tmp_path):
+    """Trainer dumps weight-map panels every save_freq train batches
+    (Birds_Eye_View_Loss/main.py:291-295) without manual calls."""
+    cfg = bp_defaults(resize=32, batch_size=4, nclasses=4, order=3,
+                      end_to_end=True, loss_policy="backproject", reg_ls=1.0,
+                      save_path=str(tmp_path), print_freq=1000, num_train=8,
+                      save_freq=1)
+    ds = LaneDataset("bp", root["image_dir"], root["gt_dir"], valid_idx=[],
+                     resize=32, nclasses=4, lanes_file=root["lanes_file"],
+                     line_file=root["line_file"])
+    train_loader = Loader(ds, range(8), 4, shuffle=True, seed=0)
+    valid_loader = Loader(ds, range(4), 4, shuffle=False)
+    trainer = Trainer(cfg, log_to_file=False, verbose=False)
+    trainer.fit(train_loader, valid_loader, nepochs=1)
+    train_dir = os.path.join(trainer.save_path, "example", "train")
+    assert len(os.listdir(train_dir)) == 2  # 8 imgs / bs4 = 2 batches
+
+
+def test_use_pallas_wls_flag_reaches_fitter():
+    """config.use_pallas_wls is plumbed to WLSFitter (None = backend auto)."""
+    for forced in (True, False):
+        cfg = bp_defaults(resize=32, batch_size=4, reg_ls=1.0,
+                          use_pallas_wls=forced)
+        assert LaneNet(cfg).fitter.use_pallas is forced
+    cfg = bp_defaults(resize=32, batch_size=4, reg_ls=1.0)
+    assert cfg.use_pallas_wls is None
+    auto = LaneNet(cfg).fitter.use_pallas
+    assert auto == (jax.default_backend() == "tpu")
