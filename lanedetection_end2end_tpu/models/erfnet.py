@@ -78,8 +78,10 @@ class NonBottleneck1D(nn.Module):
         y = nn.BatchNorm(use_running_average=not train, epsilon=_BN_EPS,
                          momentum=_BN_MOMENTUM, dtype=self.dtype, name="bn2")(y)
         if self.dropprob > 0:
+            # the reference uses nn.Dropout2d (ERFNet.py:41): whole CHANNELS
+            # drop per sample -> broadcast the mask over H, W (NHWC axes 1, 2)
             y = nn.Dropout(self.dropprob, deterministic=not train,
-                           name="dropout")(y)
+                           broadcast_dims=(1, 2), name="dropout")(y)
         return nn.relu(y + x)
 
 
@@ -117,9 +119,13 @@ class UpsamplerBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         # torch ConvTranspose2d(3, stride=2, padding=1, output_padding=1)
-        # doubles the spatial dims; flax ConvTranspose k=3/s=2/SAME matches.
+        # doubles the spatial dims. flax equivalent is padding ((1,2),(1,2))
+        # with the spatially FLIPPED torch kernel (verified numerically in
+        # tests/test_reference_parity.py); "SAME" shifts the output one
+        # row/col and differs at the boundary.
         y = nn.ConvTranspose(self.out_channels, (3, 3), strides=(2, 2),
-                             padding="SAME", dtype=self.dtype, name="conv")(x)
+                             padding=((1, 2), (1, 2)), dtype=self.dtype,
+                             name="conv")(x)
         y = nn.BatchNorm(use_running_average=not train, epsilon=_BN_EPS,
                          momentum=_BN_MOMENTUM, dtype=self.dtype, name="bn")(y)
         return nn.relu(y)

@@ -198,9 +198,10 @@ def pack_upsampler(params: Dict, stats: Dict, cin: int, cout: int,
                    eps: float = 1e-3) -> Dict:
     """ConvTranspose2d(3, s=2, p=1, op=1) + BN + relu as lane maps.
 
-    flax ConvTranspose places the SPATIALLY FLIPPED kernel at each input
-    (verified by impulse response): out[y] += x[h] K[2 - (y - 2h)], so
-      i=0: x[h'] K[2] + x[h'-1] K[0];   i=1: x[h'] K[1]
+    flax ConvTranspose with the torch-equivalent padding ((1,2),(1,2))
+    (UpsamplerBlock in models/erfnet.py; verified by impulse response):
+    out[y] += x[h] K[kh] with y = 2h + 1 - kh, so
+      i=0: x[h'] K[1];   i=1: x[h'] K[0] + x[h'+1] K[2]
     (identically in W). Column phases are FOLDED into the lane map (output
     treated as 2*cout channels per input w), so no lane interleave is needed
     afterwards; row phases are computed as two planes and interleaved by a
@@ -210,7 +211,7 @@ def pack_upsampler(params: Dict, stats: Dict, cin: int, cout: int,
 
     def taps(i):
         # (kernel index, input offset) per output phase
-        return [(2, 0), (0, -1)] if i == 0 else [(1, 0)]
+        return [(1, 0)] if i == 0 else [(0, 0), (2, +1)]
 
     g_in = 128 // cin if cin <= 128 else 1
     r_in = 1
@@ -222,8 +223,6 @@ def pack_upsampler(params: Dict, stats: Dict, cin: int, cout: int,
     for i in (0, 1):
         for kh, dh in taps(i):
             def contribs(w_out, kh=kh):
-                for (kw, dw) in taps(1) if False else []:
-                    pass
                 for j in (0, 1):
                     for (kw, dw) in taps(j):
                         w_in = w_out + dw
@@ -246,12 +245,12 @@ def body_upsampler(x, packed, *, H, W, interpret):
     """x: (H, W*cin) -> (2H, 2W*cout) ConvT 3x3/s2 + BN + relu."""
     cin, cout, r_in = packed["cin"], packed["cout"], packed["r_in"]
     zeros = jnp.zeros((1, W * cin), x.dtype)
-    x_prev = jnp.concatenate([zeros, x[:-1]], axis=0)  # row h-1
+    x_next = jnp.concatenate([x[1:], zeros], axis=0)  # row h+1
 
     phases = []
     for i in (0, 1):
         acc = None
-        for dh, rows in ((0, x), (-1, x_prev)):
+        for dh, rows in ((0, x), (+1, x_next)):
             if (i, dh) not in packed:
                 continue
             term = _apply_lane_maps(rows, packed[(i, dh)], r_in, interpret)

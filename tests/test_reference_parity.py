@@ -14,6 +14,7 @@ import types
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 torch = pytest.importorskip("torch")
@@ -258,3 +259,110 @@ def test_bce_matches_torch():
     ours = np.asarray(bce_with_logits(jnp.asarray(logits),
                                       jnp.asarray(targets)))
     np.testing.assert_allclose(ours, float(ref), rtol=1e-6)
+
+
+# ----------------------------------------------------------------------
+# Full-network weight port: torch Net state_dict -> flax, forward parity
+# ----------------------------------------------------------------------
+
+def test_weight_port_full_net_forward(bev):
+    """Port a randomly-initialized reference BEV `Net` (ERFNet backbone +
+    line/horizon heads + WLS, LSQ_layer.py:231-326) into the flax model via
+    models/port.py and require forward agreement in eval mode — closes the
+    ConvTranspose/BN/padding/flatten-order parity hole."""
+    _, lsq = bev
+    import types
+    from lanedetection_end2end_tpu.config import bev_defaults
+    from lanedetection_end2end_tpu.models import (
+        LaneNet, load_into_variables, port_torch_state_dict)
+    from lanedetection_end2end_tpu.ops.wls import WLSFitter
+
+    B, resize = 2, 256
+    args = types.SimpleNamespace(
+        resize=resize, batch_size=B, nclasses=4, mod="erfnet", layers=18,
+        channels_in=3, pretrained=False, pool=False,
+        activation_layer="square", no_cuda=True, order=2, reg_ls=1e-5,
+        use_cholesky=False, mask_percentage=0.3, clas=True,
+        end_to_end=True)
+    torch.manual_seed(7)
+    ref = lsq.Net(args)
+    ref.eval()
+    # make the ported running stats non-trivial
+    for m in ref.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.uniform_(-0.05, 0.05)
+            m.running_var.uniform_(0.9, 1.1)
+
+    cfg = bev_defaults(resize=resize, batch_size=B, nclasses=4, order=2,
+                       end_to_end=True, clas=True, reg_ls=1e-5,
+                       mask_percentage=0.3, activation_layer="square")
+    lanenet = LaneNet(cfg)
+    # exact-parity solve (no trace-relative floor on top of reg_ls)
+    lanenet.fitter = WLSFitter(lanenet.M, cfg.image_height, cfg.image_width,
+                               cfg.order, normalized=True, reg_ls=1e-5,
+                               reg_floor=0.0, use_pallas=False)
+    variables = lanenet.init(jax.random.PRNGKey(0))
+    ported = port_torch_state_dict(ref.state_dict(), profile="bev",
+                                   resize=resize)
+    variables = load_into_variables(jax.device_get(variables), ported)
+
+    rng = np.random.default_rng(11)
+    img = rng.uniform(0, 1, (B, 3, resize, 2 * resize)).astype(np.float32)
+    with torch.no_grad():
+        (b0, b1, b2, b3, masked, _M, output, line,
+         horizon) = ref(torch.tensor(img), end_to_end=True)
+    ref_beta = np.stack([b.squeeze(-1).numpy() for b in (b0, b1, b2, b3)],
+                        axis=1)
+
+    out = lanenet.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                        phase="e2e", train=False)
+
+    # backbone seg logits (the decoder output; covers every conv /
+    # ConvTranspose / BN on the main path)
+    np.testing.assert_allclose(
+        np.asarray(out.seg_logits).transpose(0, 3, 1, 2), output.numpy(),
+        rtol=1e-3, atol=2e-4)
+    # classification heads (cover the NCHW->NHWC flatten permutation)
+    np.testing.assert_allclose(np.asarray(out.line_logits), line.numpy(),
+                               rtol=1e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out.horizon_logits),
+                               horizon.numpy(), rtol=1e-3, atol=2e-4)
+    # end-to-end fitted coefficients
+    np.testing.assert_allclose(np.asarray(out.beta), ref_beta,
+                               rtol=5e-3, atol=5e-4)
+
+
+def test_weight_port_erfnet_pretrain_head(bev):
+    """Dual-head ERFNet port: the pretrain head (output_conv2) is carried
+    over and selected by the seg phase (ERFNet.py:125-139)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_erfnet_bev", os.path.join(BEV, "Networks", "ERFNet.py"))
+    ref_erfnet = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_erfnet)
+    from lanedetection_end2end_tpu.models import (
+        ERFNet, load_into_variables, port_torch_state_dict)
+
+    torch.manual_seed(3)
+    ref = ref_erfnet.Net(in_channels=3, out_channels=2, pretrained=True)
+    ref.eval()
+
+    model = ERFNet(in_channels=3, out_channels=2, pretrained=True)
+    img = np.random.default_rng(1).uniform(
+        0, 1, (1, 3, 64, 128)).astype(np.float32)
+    xj = jnp.asarray(img.transpose(0, 2, 3, 1))
+    variables = model.init(jax.random.PRNGKey(0), xj, train=False)
+    ported = port_torch_state_dict(ref.state_dict())
+    # bare-ERFNet init names its subtrees encoder/decoder directly (no
+    # 'erfnet' wrapper module)
+    ported = {"params": ported["params"]["erfnet"],
+              "batch_stats": ported["batch_stats"]["erfnet"]}
+    variables = load_into_variables(jax.device_get(variables), ported)
+
+    for flag, use_main in ((1, True), (0, False)):
+        with torch.no_grad():
+            _, ref_out = ref(torch.tensor(img), flag)
+        ours = model.apply(variables, xj, train=False,
+                           use_main_head=use_main)[1]
+        np.testing.assert_allclose(np.asarray(ours).transpose(0, 3, 1, 2),
+                                   ref_out.numpy(), rtol=1e-3, atol=2e-4)
