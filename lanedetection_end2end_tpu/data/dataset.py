@@ -88,9 +88,17 @@ class LaneDataset:
                  curves_file: Optional[str] = None,
                  lanes_file: Optional[str] = None,
                  line_file: Optional[str] = None,
-                 expected_size: Optional[int] = None):
+                 expected_size: Optional[int] = None,
+                 cache_images: bool = True,
+                 image_dtype: str = "float32"):
         if profile not in ("bev", "bp"):
             raise ValueError(f"unknown profile {profile!r}")
+        if image_dtype not in ("float32", "uint8"):
+            raise ValueError(f"unknown image_dtype {image_dtype!r}")
+        # 'uint8' ships quarter-size image/gt tensors to the device (H2D
+        # bandwidth is the scarce resource); train/steps.prepare_batch
+        # normalizes on device, where XLA fuses the scale into the first conv.
+        self.image_dtype = image_dtype
         self.profile = profile
         self.image_dir = image_dir
         self.gt_dir = gt_dir
@@ -117,15 +125,35 @@ class LaneDataset:
         target_idx = [int(n.split(".")[0]) for n in self.rgb_lst]
         self.valid_idx = [target_idx[i] - 1 for i in valid_idx]
 
+        # In-RAM cache of the decoded+resized uint8 image and gt mask.
+        # TuSimple at 256x512 is ~1.5 GB as u8 — steady-state epochs then
+        # skip PNG/JPEG decode and resampling entirely (the dominant host
+        # cost) and only pay the u8->f32 normalize (native.u8_to_unit_f32).
+        # All accesses (including the caching one) serve from the u8
+        # quantization so values are identical across epochs.
+        self._cache: Optional[Dict[int, tuple]] = {} if cache_images else None
+
     def __len__(self) -> int:
         return len(self.rgb_lst)
 
     # ------------------------------------------------------------------
-    def __getitem__(self, idx: int, *, flip: bool = False) -> Dict[str, np.ndarray]:
-        assert self.rgb_lst[idx].split(".")[0] == self.gt_lst[idx].split(".")[0]
+    def _decoded(self, idx: int):
+        """-> (img_u8 (H, W, 3), gt_i32 (H, W) fresh copy), via the cache."""
+        if self._cache is not None:
+            hit = self._cache.get(idx)
+            if hit is not None:
+                return hit[0], hit[1].astype(np.int32)
         img_path = os.path.join(self.image_dir, self.rgb_lst[idx])
         gt_path = os.path.join(self.gt_dir, self.gt_lst[idx])
         image, gt = _decode_and_resize(img_path, gt_path, self.resize)
+        img_u8 = np.clip(image * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        if self._cache is not None:
+            self._cache[idx] = (img_u8, gt.astype(np.uint8))
+        return img_u8, gt
+
+    def __getitem__(self, idx: int, *, flip: bool = False) -> Dict[str, np.ndarray]:
+        assert self.rgb_lst[idx].split(".")[0] == self.gt_lst[idx].split(".")[0]
+        img_u8, gt = self._decoded(idx)
         label_idx = int(self.rgb_lst[idx].split(".")[0]) - 1
         is_valid = label_idx in self.valid_idx
         do_flip = flip and self.flip_on and not is_valid
@@ -140,9 +168,13 @@ class LaneDataset:
         else:
             sample = self._bp_labels(label_idx, gt, line_lst, do_flip)
 
-        if do_flip:
-            image = image[:, ::-1]
-        sample["image"] = np.ascontiguousarray(image)
+        if self.image_dtype == "uint8":
+            sample["image"] = (np.ascontiguousarray(img_u8[:, ::-1])
+                               if do_flip else img_u8)
+            sample["gt"] = sample["gt"].astype(np.uint8)
+        else:
+            from lanedetection_end2end_tpu.data import native
+            sample["image"] = native.u8_to_unit_f32(img_u8, flip=do_flip)
         sample["idx"] = np.int32(label_idx)
         sample["is_valid"] = np.bool_(is_valid)
         return sample
@@ -233,16 +265,26 @@ class LaneDataset:
 class LaneTestSet:
     """Image-only TuSimple test set (Backprojection_Loss/Load_Data_new.py:43-66)."""
 
-    def __init__(self, gt_file: str, path: str, resize: int = 256):
+    def __init__(self, gt_file: str, path: str, resize: int = 256,
+                 cache_images: bool = True):
         self.img_info: List[dict] = read_json_lines(gt_file)
         self.path = path
         self.resize = resize
+        self._cache: Optional[Dict[int, np.ndarray]] = (
+            {} if cache_images else None)
 
     def __len__(self) -> int:
         return len(self.img_info)
 
     def __getitem__(self, idx: int, *, flip: bool = False) -> Dict[str, np.ndarray]:
         del flip  # test images are never augmented
-        img_name = os.path.join(self.path, self.img_info[idx]["raw_file"])
-        image, _ = _decode_and_resize(img_name, None, self.resize)
-        return {"image": image, "idx": np.int32(idx)}
+        from lanedetection_end2end_tpu.data import native
+        img_u8 = self._cache.get(idx) if self._cache is not None else None
+        if img_u8 is None:
+            img_name = os.path.join(self.path,
+                                    self.img_info[idx]["raw_file"])
+            image, _ = _decode_and_resize(img_name, None, self.resize)
+            img_u8 = np.clip(image * 255.0 + 0.5, 0, 255).astype(np.uint8)
+            if self._cache is not None:
+                self._cache[idx] = img_u8
+        return {"image": native.u8_to_unit_f32(img_u8), "idx": np.int32(idx)}

@@ -70,11 +70,20 @@ class Loader:
       flip: enable random horizontal flips (train only).
       nworkers: decode thread-pool width.
       seed: base seed; epoch e uses seed+e so runs are reproducible.
+      process_index/process_count: multi-host input sharding. `batch_size`
+        is the GLOBAL batch; every process computes the identical epoch
+        permutation (same seed) and decodes only its contiguous
+        `batch_size/process_count` slice of each batch. Defaults to
+        `jax.process_index()`/`jax.process_count()`; single-host runs load
+        the full batch. DevicePrefetcher assembles the global sharded array
+        from the per-process shards.
     """
 
     def __init__(self, dataset, indices: Sequence[int], batch_size: int,
                  shuffle: bool = True, flip: bool = False, nworkers: int = 8,
-                 seed: int = 0, pad_final: bool = False):
+                 seed: int = 0, pad_final: bool = False,
+                 process_index: Optional[int] = None,
+                 process_count: Optional[int] = None):
         self.dataset = dataset
         self.num_real = len(indices)
         indices = list(indices)
@@ -87,9 +96,21 @@ class Loader:
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.flip = flip
-        self.nworkers = max(1, nworkers)
+        # more decode threads than cores thrash (the decode path is
+        # CPU-bound; ctypes/PIL release the GIL but cannot mint cores)
+        import os as _os
+        self.nworkers = max(1, min(nworkers, _os.cpu_count() or nworkers))
         self.seed = seed
         self._epoch = 0
+        self.process_index = (jax.process_index() if process_index is None
+                              else process_index)
+        self.process_count = (jax.process_count() if process_count is None
+                              else process_count)
+        if batch_size % self.process_count:
+            raise ValueError(
+                f"global batch_size {batch_size} must divide evenly over "
+                f"{self.process_count} processes")
+        self.local_batch_size = batch_size // self.process_count
 
     def __len__(self) -> int:
         return len(self.indices) // self.batch_size
@@ -97,7 +118,17 @@ class Loader:
     def set_epoch(self, epoch: int) -> None:
         self._epoch = epoch
 
+    def _local_slice(self, b: int) -> slice:
+        """This process's contiguous rows of global batch `b` (must align
+        with NamedSharding(P('data'))'s row->device layout: process p owns
+        rows [p*local : (p+1)*local))."""
+        start = b * self.batch_size + self.process_index * self.local_batch_size
+        return slice(start, start + self.local_batch_size)
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        # The permutation and flip draws are computed identically on every
+        # process (same seed), so the global batch composition is agreed on
+        # before each process fetches only its local rows.
         rng = np.random.RandomState(self.seed + self._epoch)
         order = np.array(self.indices)
         if self.shuffle:
@@ -109,17 +140,24 @@ class Loader:
             return self.dataset.__getitem__(int(i), flip=bool(f))
 
         nb = len(order) // self.batch_size
+        if self.nworkers == 1:
+            # single worker: decode inline — a one-thread pool only adds GIL
+            # convoying against the consumer's device_put RPCs
+            for b in range(nb):
+                sl = self._local_slice(b)
+                yield collate([fetch(a) for a in zip(order[sl], flips[sl])])
+            return
         with ThreadPoolExecutor(self.nworkers) as pool:
             # Pipelined: submit batch k+1 while batch k is being consumed.
             pending = collections.deque()
             for b in range(min(2, nb)):
-                sl = slice(b * self.batch_size, (b + 1) * self.batch_size)
+                sl = self._local_slice(b)
                 pending.append(pool.map(fetch, zip(order[sl], flips[sl])))
             for b in range(nb):
                 samples = list(pending.popleft())
                 nxt = b + 2
                 if nxt < nb:
-                    sl = slice(nxt * self.batch_size, (nxt + 1) * self.batch_size)
+                    sl = self._local_slice(nxt)
                     pending.append(pool.map(fetch, zip(order[sl], flips[sl])))
                 yield collate(samples)
 
@@ -142,14 +180,32 @@ class DevicePrefetcher:
                  depth: int = 2):
         self._it = iter(it)
         self._sharding = sharding
-        self._q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
         self._done = object()
+        if depth <= 0:
+            # synchronous mode: put on the consumer's thread. On hosts where
+            # the device RPC layer serializes poorly across threads (e.g.
+            # remote-tunneled devices), the background thread only adds GIL
+            # convoying; depth=0 opts out of it.
+            self._thread = None
+            return
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
     def _put(self, batch):
         if self._sharding is None:
             return jax.device_put(batch)
+        if jax.process_count() > 1:
+            # Multi-controller: each process holds only its local rows;
+            # assemble the global sharded array without any cross-host copy.
+            pc = jax.process_count()
+
+            def put_one(x):
+                global_shape = (x.shape[0] * pc,) + x.shape[1:]
+                return jax.make_array_from_process_local_data(
+                    self._sharding, x, global_shape)
+
+            return jax.tree_util.tree_map(put_one, batch)
         return jax.device_put(batch, self._sharding)
 
     def _run(self):
@@ -163,6 +219,8 @@ class DevicePrefetcher:
         return self
 
     def __next__(self):
+        if self._thread is None:
+            return self._put(next(self._it))
         item = self._q.get()
         if item is self._done:
             raise StopIteration

@@ -43,6 +43,8 @@ def _build() -> Optional[ctypes.CDLL]:
     lib.resize_nearest_u8.argtypes = [u8p] + [ctypes.c_int] * 2 + [u8p] + \
         [ctypes.c_int] * 3
     lib.resize_nearest_u8.restype = None
+    lib.u8_to_unit_f32.argtypes = [u8p] + [ctypes.c_int] * 3 + [f32p, ctypes.c_int]
+    lib.u8_to_unit_f32.restype = None
     return lib
 
 
@@ -75,6 +77,22 @@ def resample_to_f32(src: np.ndarray, dh: int, dw: int,
         src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), sh, sw, ch,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), dh, dw,
         int(flip))
+    return out
+
+
+def u8_to_unit_f32(src: np.ndarray, flip: bool = False) -> np.ndarray:
+    """uint8 HWC -> float32 HWC in [0,1], optional horizontal mirror — the
+    in-RAM image-cache serving path (no decode, no resample)."""
+    lib = _get()
+    if lib is None:
+        out = src.astype(np.float32) / 255.0
+        return out[:, ::-1].copy() if flip else out
+    src = np.ascontiguousarray(src, dtype=np.uint8)
+    h, w, ch = src.shape
+    out = np.empty((h, w, ch), dtype=np.float32)
+    lib.u8_to_unit_f32(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w, ch,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), int(flip))
     return out
 
 

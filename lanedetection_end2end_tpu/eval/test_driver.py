@@ -34,6 +34,8 @@ def make_infer_fn(lanenet, cfg: LaneConfig, projections: Projections,
 
     @jax.jit
     def infer(variables, images):
+        if images.dtype == jnp.uint8:  # compact-transfer batches
+            images = images.astype(jnp.float32) * (1.0 / 255.0)
         if engine is not None:
             beta, line_logits, horizon_logits = engine(packed, variables,
                                                        images)

@@ -134,6 +134,30 @@ void resample_to_f32(const uint8_t* src, int sh, int sw, int ch,
     }
 }
 
+// uint8 HWC -> float32 HWC in [0, 1], optional horizontal mirror.
+// The serving path of the in-RAM resized-image cache (LaneDataset
+// cache_images): steady-state epochs skip decode+resample entirely and only
+// pay this normalize, so one host core feeds hundreds of images/sec.
+void u8_to_unit_f32(const uint8_t* src, int h, int w, int ch,
+                    float* dst, int flip) {
+    const float inv255 = 1.0f / 255.0f;
+    const int rowlen = w * ch;
+    #pragma omp parallel for schedule(static)
+    for (int y = 0; y < h; y++) {
+        const uint8_t* row = src + (size_t)y * rowlen;
+        float* orow = dst + (size_t)y * rowlen;
+        if (flip) {
+            for (int x = 0; x < w; x++) {
+                const uint8_t* p = row + (size_t)x * ch;
+                float* o = orow + (size_t)(w - 1 - x) * ch;
+                for (int c = 0; c < ch; c++) o[c] = p[c] * inv255;
+            }
+        } else {
+            for (int k = 0; k < rowlen; k++) orow[k] = row[k] * inv255;
+        }
+    }
+}
+
 // PIL-NEAREST resize of a single-channel uint8 mask.
 void resize_nearest_u8(const uint8_t* src, int sh, int sw,
                        uint8_t* dst, int dh, int dw, int flip) {

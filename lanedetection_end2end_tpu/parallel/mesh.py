@@ -16,8 +16,13 @@ batch-axis mean into a cross-replica psum) — sync-BN semantics, strictly
 stronger than the reference's single-device BN.
 
 Multi-host: `make_mesh` uses `jax.devices()`, which spans processes under
-multi-host runtimes; per-host input sharding is handled by the data loader
-feeding each process its local shard (loader.py DevicePrefetcher).
+multi-host runtimes. Per-host input sharding: every process computes the
+identical epoch permutation and decodes only its `batch/process_count` rows
+(`data/loader.py Loader._local_slice`); `DevicePrefetcher._put` assembles the
+global array from the process-local shards via
+`jax.make_array_from_process_local_data`, so no host ever materializes the
+full global batch. Tested by simulating per-process loaders on the 8-device
+CPU mesh (tests/test_data.py::test_loader_multihost_sharding).
 """
 
 from __future__ import annotations

@@ -323,8 +323,10 @@ class Trainer:
                         mode: str = "train"):
         """Per-epoch weight-map dump (save_weightmap, utils.py:95-155 /
         save_freq plotting, main.py:291-295)."""
+        from lanedetection_end2end_tpu.train.steps import prepare_batch
         cfg = self.cfg
         phase = cfg.phase_for_epoch(epoch)
+        batch = prepare_batch(batch)
         out = self.lanenet.apply(self.state.variables, batch["image"],
                                  phase=phase, train=False,
                                  gt_line=batch.get("line"))

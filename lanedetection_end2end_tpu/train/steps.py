@@ -33,6 +33,23 @@ from lanedetection_end2end_tpu.ops import (
 from lanedetection_end2end_tpu.train.state import TrainState
 
 
+def prepare_batch(batch):
+    """Device-side batch normalization for compact-transfer batches: uint8
+    images -> f32 in [0,1] (XLA fuses the scale into the first conv) and
+    uint8 gt -> int32. A no-op for float32 batches, so both dataset
+    `image_dtype` modes feed the same graphs."""
+    img = batch["image"]
+    if img.dtype != jnp.uint8 and ("gt" not in batch
+                                   or batch["gt"].dtype == jnp.int32):
+        return batch
+    out = dict(batch)
+    if img.dtype == jnp.uint8:
+        out["image"] = img.astype(jnp.float32) * (1.0 / 255.0)
+    if "gt" in batch and batch["gt"].dtype != jnp.int32:
+        out["gt"] = batch["gt"].astype(jnp.int32)
+    return out
+
+
 def _seg_class_weights(cfg: LaneConfig) -> jnp.ndarray:
     """BEV: [1, w, w] (Loss_crit.py:52-54); BP: [1] + [w]*nclasses
     (Loss_crit.py:64-65)."""
@@ -109,6 +126,7 @@ def make_loss_fn(lanenet, cfg: LaneConfig, phase: str,
         return beta
 
     def loss_fn(params, batch_stats, batch, rng):
+        batch = prepare_batch(batch)
         variables = {"params": params, "batch_stats": batch_stats}
         mutable = ["batch_stats"] if train else False
         res = lanenet.apply(variables, batch["image"], phase=phase,

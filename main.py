@@ -108,7 +108,7 @@ def main(argv=None):
             resize=cfg.resize, nclasses=cfg.nclasses, flip_on=cfg.flip_on,
             curves_file=cfg.json_file if cfg.profile == "bev" else None,
             lanes_file=lanes_file if cfg.profile == "bp" else None,
-            line_file=line_file)
+            line_file=line_file, image_dtype="uint8")
 
     train_loader, valid_loader, valid_idx = get_loader(
         dataset_factory, cfg.num_train, cfg.batch_size,

@@ -214,3 +214,44 @@ def test_labels_roundtrip(root):
     assert len(recs) == 12
     assert len(recs[0]["lanes"]) == 4
     assert len(recs[0]["h_samples"]) == 56
+
+
+def test_loader_multihost_sharding(root):
+    """Per-process input sharding: simulated processes agree on the epoch
+    permutation and together cover each global batch exactly, in the row
+    order NamedSharding(P('data')) expects."""
+    ds = _bp_dataset(root)
+    global_loader = Loader(ds, range(12), batch_size=4, shuffle=True, seed=3,
+                           process_index=0, process_count=1)
+    shard_loaders = [Loader(ds, range(12), batch_size=4, shuffle=True, seed=3,
+                            process_index=p, process_count=2)
+                     for p in range(2)]
+    assert all(ld.local_batch_size == 2 for ld in shard_loaders)
+    assert len(global_loader) == len(shard_loaders[0]) == 3
+    global_batches = list(global_loader)
+    parts = [list(ld) for ld in shard_loaders]
+    for b in range(3):
+        reassembled = np.concatenate(
+            [parts[0][b]["idx"], parts[1][b]["idx"]])
+        np.testing.assert_array_equal(reassembled, global_batches[b]["idx"])
+        np.testing.assert_array_equal(
+            np.concatenate([parts[0][b]["image"], parts[1][b]["image"]]),
+            global_batches[b]["image"])
+
+    with pytest.raises(ValueError):
+        Loader(ds, range(12), batch_size=4, process_index=0, process_count=3)
+
+
+def test_make_array_from_process_local_data_path(root):
+    """The DevicePrefetcher multi-controller assembly primitive produces the
+    same sharded global array as device_put in the 1-process case."""
+    ds = _bp_dataset(root)
+    batch = next(iter(Loader(ds, range(8), batch_size=8, shuffle=False)))
+    mesh = jax.sharding.Mesh(np.array(jax.devices()), ("data",))
+    sharding = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("data"))
+    a = jax.device_put(batch["image"], sharding)
+    b = jax.make_array_from_process_local_data(
+        sharding, batch["image"], batch["image"].shape)
+    assert b.sharding.is_equivalent_to(a.sharding, a.ndim)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
