@@ -78,7 +78,10 @@ def bench_train_step(batch_size: int, warmup: int = 3, iters: int = 20
     from lanedetection_end2end_tpu.train import define_optim, make_train_step
     from lanedetection_end2end_tpu.train.state import init_train_state
 
-    cfg = train_sh_config(resize=256, batch_size=batch_size, reg_ls=1.0)
+    packed = os.environ.get("BENCH_PACKED")  # "0"/"1" force; unset = auto
+    cfg = train_sh_config(resize=256, batch_size=batch_size, reg_ls=1.0,
+                          packed_train=None if packed is None
+                          else bool(int(packed)))
     lanenet = LaneNet(cfg, dtype=jnp.bfloat16)
     with jax.default_device(jax.devices("cpu")[0]):
         variables = lanenet.init(jax.random.PRNGKey(0))

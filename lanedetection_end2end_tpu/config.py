@@ -122,6 +122,11 @@ class LaneConfig:
     # fused Pallas path for WLS moments: None = auto (on when the backend is
     # TPU), True/False = force. Plumbed to ops.wls.WLSFitter(use_pallas=...).
     use_pallas_wls: Optional[bool] = None
+    # lane-packed differentiable backbone for TRAINING (ops/packed_graph.py):
+    # None/False = off (default — measured slower than the flax graph under
+    # XLA, see train/steps.py::_resolve_packed), True = force on. Identical
+    # math to the flax graph (tests/test_packed_graph.py).
+    packed_train: Optional[bool] = None
 
     # ------------------------------------------------------------------
     def __post_init__(self):
@@ -238,6 +243,7 @@ def train_sh_config(**kw) -> LaneConfig:
 _BOOL_STR_FLAGS = {  # flags that use the str2bool convention in the reference
     "pool", "draw_testset", "pretrained", "flip_on", "use_cholesky",
     "end_to_end", "no_mapping", "clas", "cudnn", "no_tb", "use_pallas_wls",
+    "packed_train",
 }
 _STORE_TRUE_FLAGS = {
     "no_cuda", "no_dropout", "test_mode", "evaluate", "lr_decay", "no_ortho",

@@ -177,3 +177,71 @@ class LaneNet:
         wmaps = jnp.transpose(masked, (0, 3, 1, 2))  # (B, C, H, W)
         res = LaneNetOutput(beta, wmaps, dec, line, horizon, enc)
         return (res, new_vars) if mutable else res
+
+    # -- packed fast path ------------------------------------------------
+    def packed_supported(self, phase: str) -> bool:
+        """Whether the lane-packed training graph (ops/packed_graph.py) can
+        serve this config/phase: e2e only, separable homography, and every
+        stage's packed plane 128-lane aligned."""
+        from lanedetection_end2end_tpu.ops.packed_graph import packed_shapes_ok
+        cfg = self.cfg
+        out_ch = cfg.nclasses if cfg.pretrained else cfg.seg_out_channels
+        return (phase == "e2e" and self.fitter.separable
+                and packed_shapes_ok(cfg.resize, out_ch))
+
+    def apply_packed(self, variables, images, *, phase: str = "e2e",
+                     train: bool = False, rng=None,
+                     gt_line: Optional[jax.Array] = None,
+                     absent_lane_guard: bool = False,
+                     mutable=False) -> LaneNetOutput:
+        """Lane-packed twin of `apply` for the e2e phase — identical math
+        (tests/test_packed_graph.py), but the backbone runs in the dense
+        (B, H, W*C) layout and the WLS fit consumes packed row sums, so the
+        (B, H, W, C) weight maps are never materialized in lane-padded NHWC.
+        This is the training throughput path (the backward pass inherits the
+        same MXU-shaped matmuls)."""
+        from lanedetection_end2end_tpu.ops.packed_graph import (
+            erfnet_packed, rowsums_packed)
+        cfg = self.cfg
+        assert self.packed_supported(phase), "packed path: unsupported config"
+        out_ch = cfg.nclasses if cfg.pretrained else cfg.seg_out_channels
+        head_rng = enc_rng = None
+        if train and rng is not None:
+            enc_rng, head_rng = jax.random.split(rng)
+        enc, dec, new_erf_stats = erfnet_packed(
+            variables["params"]["erfnet"],
+            variables["batch_stats"]["erfnet"], images,
+            out_channels=out_ch, train=train, rng=enc_rng,
+            use_main_head=True, dtype=self.dtype)
+        S0, S1 = rowsums_packed(dec, self._act, self.fitter._sep_xs,
+                                C=out_ch, resize=cfg.resize,
+                                mask_percentage=cfg.mask_percentage)
+        beta = self.fitter.beta_from_rowsums(S0, S1)
+
+        line = horizon = None
+        new_stats = dict(variables["batch_stats"])
+        new_stats["erfnet"] = new_erf_stats
+        if cfg.clas:
+            variant = "bev" if cfg.profile == "bev" else "bp"
+            for key, kind in (("line_classification", "line"),
+                              ("horizon_estimation", "horizon")):
+                mod = Classification(kind, resize=cfg.resize, variant=variant,
+                                     dtype=self.dtype)
+                sub = {"params": variables["params"][key],
+                       "batch_stats": variables["batch_stats"][key]}
+                if train:
+                    out, upd = mod.apply(sub, enc, train=True,
+                                         mutable=["batch_stats"])
+                    new_stats[key] = upd["batch_stats"]
+                else:
+                    out = mod.apply(sub, enc, train=False)
+                if kind == "line":
+                    line = out
+                else:
+                    horizon = out
+        B, H = dec.shape[0], dec.shape[1]
+        seg_logits = dec.reshape(B, H, -1, out_ch)  # NHWC view (DCE'd if unused)
+        res = LaneNetOutput(beta, None, seg_logits, line, horizon, enc)
+        if mutable:
+            return res, {"batch_stats": new_stats}
+        return res

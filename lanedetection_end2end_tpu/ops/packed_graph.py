@@ -1,0 +1,597 @@
+"""Differentiable lane-packed ERFNet (experimental training layout,
+opt-in via cfg.packed_train).
+
+Measured on v5e at 256x512: this pure-XLA formulation LOSES to the flax
+NHWC graph (319 vs 376 img/s) — profiling shows XLA materializes a full
+HBM round-trip (~100 us each at bs16) at every shift/concatenate boundary,
+outweighing the MXU-occupancy gain. It is kept as a correct, parity-tested
+alternative layout (and the building block for a VMEM-resident Pallas
+training kernel, where the same formulation does pay off).
+
+The inference engine (ops/pallas_nb1d.py, ops/pallas_backbone.py,
+models/fused_graph.py) showed where XLA loses the backbone's time: NHWC
+activations with C in {3, 16, 64} tile the TPU lane dimension at 128, so
+every conv / BatchNorm / elementwise op on a small-channel tensor moves and
+computes 8x (C=16) or 2x (C=64) dead lanes, and every conv boundary inserts
+lane-permuting relayout copies. Those kernels fix it for inference by folding
+BatchNorm statistics into constants — which a TRAINING graph cannot do (BN
+needs cross-image batch statistics, and every weight is a differentiated
+leaf).
+
+This module is the training-compatible redesign: the same lane-packed
+(B, H, W*C) layout and block-matmul formulation, but built from PURE jnp ops
+so XLA differentiates it. The trick that keeps it differentiable is that
+every lane-map matrix is LINEAR in the conv kernel, so it can be materialized
+at trace time with a scatter-add of the learnable kernel entries into a
+(128·r, 128·s) matrix (gradients flow back through the scatter as a gather):
+
+    M_shift = zeros.at[rows, cols].add(kernel.reshape(-1)[kidx])
+
+with (shift, rows, cols, kidx) precomputed on the host from static shapes
+only. Convolutions then become dense (…, 128) @ (128, 128·s) matmuls — MXU
+shapes — plus cheap lane/row shifts, exactly like the serving kernels:
+
+  - 3x1 conv (over H, dilation d): row shifts by ±d + block-diagonal matmul
+    (kron(I_{128/C}, K_t), ERFNet.py:31,40 taps);
+  - 1x3 conv (over W, dilation d): lane shifts by ±d·C + the same matmuls;
+  - DownsamplerBlock / UpsamplerBlock / 2x2 ConvTranspose head: the lane-map
+    construction of ops/pallas_backbone.py, scatter-built (ERFNet.py:11-22,
+    98-106, 124);
+  - BatchNorm (train mode): per-channel batch statistics computed IN the
+    packed layout via a constant channel-selection matmul, with flax
+    BatchNorm semantics (biased variance, running average momentum 0.9);
+  - Dropout2d: per-(image, channel) mask tiled across W
+    (torch nn.Dropout2d, ERFNet.py:41).
+
+The packed e2e tail never materializes the (B, 256, 512, C) weight maps in
+NHWC: activation -> top-row mask -> the separable WLS row sums S0/S1
+(ops/wls.py point 5) are computed straight from the packed plane with one
+selection einsum, mirroring models/fused_graph.py's decoder tail.
+
+Numerical contract: identical math to the flax graph (models/erfnet.py) —
+verified by tests/test_packed_graph.py against `ERFNet.apply` forward,
+train-mode batch statistics, and gradients.
+"""
+
+from __future__ import annotations
+
+import functools
+from math import ceil
+from typing import Any, Dict, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+_BN_EPS = 1e-3
+_BN_MOMENTUM = 0.9
+
+# Block inventories (ERFNet.py:66-81, 116-124).
+ENC_NB64 = [(f"nb64_{i}", 1) for i in range(5)]
+ENC_NB128 = [(f"nb128_{j}_d{d}", d) for j in range(2) for d in (2, 4, 8, 16)]
+DEC_NB64 = [("nb64_0", 1), ("nb64_1", 1)]
+DEC_NB16 = [("nb16_0", 1), ("nb16_1", 1)]
+
+
+def packed_shapes_ok(resize: int, out_ch: int) -> bool:
+    """True when every packed stage is 128-lane aligned for this resolution:
+    the initial plane W*4 = 8*resize must tile into 128-lane blocks (the
+    tightest stage constraint) and the head's input plane (16*resize lanes)
+    must tile into its r_in super-blocks."""
+    if resize % 16:
+        return False
+    g_in = 128 // 16
+    r_in = 1
+    while (g_in * r_in * 2 * out_ch) % 128:
+        r_in *= 2
+    return (16 * resize) % (128 * r_in) == 0
+
+
+# ----------------------------------------------------------------------
+# Scatter-built lane maps (host: static index triples; trace: one scatter)
+# ----------------------------------------------------------------------
+
+class _CooMaps:
+    """COO triples per shift for a W-direction linear op.
+
+    Same contract as ops/pallas_backbone._lane_maps, but collecting
+    (row, col, kernel_flat_index) instead of baking numpy weights, so the
+    matrices can be rebuilt from LEARNABLE kernels at trace time."""
+
+    def __init__(self, in_lanes: int, out_lanes: int):
+        self.in_lanes, self.out_lanes = in_lanes, out_lanes
+        self.coo: Dict[int, list] = {}
+
+    def add(self, w_in: int, cin: int, ci: int, lane_out: int, kidx: int):
+        lane_in = w_in * cin + ci
+        shift, lane_rel = divmod(lane_in, self.in_lanes)
+        self.coo.setdefault(shift, []).append((lane_rel, lane_out, kidx))
+
+    def finalize(self) -> Dict[int, Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        out = {}
+        for shift, triples in self.coo.items():
+            arr = np.asarray(triples, np.int32)
+            out[shift] = (arr[:, 0], arr[:, 1], arr[:, 2])
+        return out
+
+
+def _build_maps(coo, kern_flat, in_lanes: int, out_lanes: int):
+    """COO triples + flat kernel vector -> {shift: (in_lanes, out_lanes)}."""
+    return {
+        shift: jnp.zeros((in_lanes, out_lanes), kern_flat.dtype)
+        .at[rows, cols].add(kern_flat[kidx])
+        for shift, (rows, cols, kidx) in coo.items()
+    }
+
+
+def _apply_maps(x, maps, r_in: int, precision=None):
+    """x (B, H, L) -> (B, H, (L // in_lanes) * out_lanes) via super-block
+    matmuls; `shift` counts whole input super-blocks (jnp twin of
+    ops/pallas_backbone._apply_lane_maps, zero-fill edges).
+
+    `precision` defaults to the backend default (bf16 passes on TPU — the
+    same precision flax's convs run at); pass Precision.HIGHEST for
+    exactness-sensitive selections (the maxpool path must reproduce the
+    pooled values bit-exactly, not bf16-rounded)."""
+    B, H, L = x.shape
+    in_lanes = 128 * r_in
+    out = None
+    for shift, M in maps.items():
+        s = shift * in_lanes
+        if shift > 0:
+            zz = jnp.concatenate(
+                [x[..., s:], jnp.zeros((B, H, s), x.dtype)], axis=-1)
+        elif shift < 0:
+            zz = jnp.concatenate(
+                [jnp.zeros((B, H, -s), x.dtype), x[..., :s]], axis=-1)
+        else:
+            zz = x
+        z = zz.reshape(B, H, L // in_lanes, in_lanes)
+        term = jnp.einsum("bhgk,ko->bhgo", z, M.astype(x.dtype),
+                          preferred_element_type=jnp.float32,
+                          precision=precision)
+        out = term if out is None else out + term
+    out_lanes = next(iter(maps.values())).shape[1]
+    return out.reshape(B, H, (L // in_lanes) * out_lanes)
+
+
+# ----------------------------------------------------------------------
+# Packed BatchNorm (train + eval) and Dropout2d
+# ----------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _chan_select(C: int) -> np.ndarray:
+    """(128, C) matrix summing packed lanes (w_rel*C + c) into channel c."""
+    sel = np.zeros((128, C), np.float32)
+    for w in range(128 // C):
+        for c in range(C):
+            sel[w * C + c, c] = 1.0
+    return sel
+
+
+def _channel_moments(x, C: int):
+    """Per-channel mean and mean-of-squares of a packed (B, H, L) tensor."""
+    B, H, L = x.shape
+    sel = jnp.asarray(_chan_select(C))
+    xf = x.astype(jnp.float32).reshape(B, H, L // 128, 128)
+    n = B * H * (L // C)
+    # HIGHEST: the selection must not bf16-round the activations — batch
+    # statistics feed the normalization (and flax reduces in f32)
+    s1 = jnp.einsum("bhgk,kc->c", xf, sel,
+                    precision=jax.lax.Precision.HIGHEST) / n
+    s2 = jnp.einsum("bhgk,kc->c", jnp.square(xf), sel,
+                    precision=jax.lax.Precision.HIGHEST) / n
+    return s1, s2
+
+
+def _tile_lane(v, L: int, C: int):
+    """(C,) per-channel vector -> (L,) packed-lane vector."""
+    return jnp.tile(v, L // C)
+
+
+def batchnorm_packed(x, bn_params: Dict, bn_stats: Dict, C: int, train: bool):
+    """flax.linen.BatchNorm semantics on a packed (B, H, L) tensor.
+
+    Returns (y, new_stats): batch statistics (biased variance) in train mode,
+    running statistics in eval mode; running averages updated with
+    momentum 0.9 (torch momentum 0.1, models/erfnet.py:30-33)."""
+    L = x.shape[-1]
+    if train:
+        mean, mean2 = _channel_moments(x, C)
+        var = mean2 - jnp.square(mean)
+        new_stats = {
+            "mean": _BN_MOMENTUM * bn_stats["mean"]
+            + (1.0 - _BN_MOMENTUM) * mean,
+            "var": _BN_MOMENTUM * bn_stats["var"]
+            + (1.0 - _BN_MOMENTUM) * var,
+        }
+    else:
+        mean, var = bn_stats["mean"], bn_stats["var"]
+        new_stats = bn_stats
+    mul = bn_params["scale"] * jax.lax.rsqrt(var + _BN_EPS)
+    add = bn_params["bias"] - mean * mul
+    y = x * _tile_lane(mul, L, C).astype(x.dtype) \
+        + _tile_lane(add, L, C).astype(x.dtype)
+    return y, new_stats
+
+
+def dropout2d_packed(x, rate: float, rng, C: int, train: bool):
+    """torch nn.Dropout2d (ERFNet.py:41): whole channels drop per sample."""
+    if not train or rate <= 0.0 or rng is None:
+        return x
+    B, _, L = x.shape
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, (B, C)).astype(x.dtype)
+    mask_l = jnp.tile(mask, (1, L // C))  # lane order is w-major
+    return x * mask_l[:, None, :] / keep
+
+
+# ----------------------------------------------------------------------
+# non_bottleneck_1d (ERFNet.py:25-60)
+# ----------------------------------------------------------------------
+
+def _shift_rows(x, d: int):
+    """(up, down) row-shifted planes: up[h] = x[h-d], down[h] = x[h+d]."""
+    B, H, L = x.shape
+    zeros = jnp.zeros((B, min(d, H), L), x.dtype)
+    if d >= H:
+        return zeros, zeros
+    up = jnp.concatenate([zeros, x[:, :-d]], axis=1)
+    dn = jnp.concatenate([x[:, d:], zeros], axis=1)
+    return up, dn
+
+
+def _shift_lanes(x, s: int):
+    """(left, right) lane-shifted planes: left needs x[w-d] (shift right by
+    s = d*C lanes, zeros enter at the image's left edge), right needs
+    x[w+d]."""
+    B, H, L = x.shape
+    zeros = jnp.zeros((B, H, min(s, L)), x.dtype)
+    if s >= L:
+        return zeros, zeros
+    left = jnp.concatenate([zeros, x[..., :-s]], axis=-1)
+    right = jnp.concatenate([x[..., s:], zeros], axis=-1)
+    return left, right
+
+
+def _block_matmul(x, K):
+    """x (B, H, L) @ block-diag-expanded K (128, 128) per 128-lane block.
+    Returns f32 (tap sums accumulate in f32; callers cast once per conv)."""
+    B, H, L = x.shape
+    z = x.reshape(B, H, L // 128, 128)
+    y = jnp.einsum("bhgk,km->bhgm", z, K.astype(x.dtype),
+                   preferred_element_type=jnp.float32)
+    return y.reshape(B, H, L)
+
+
+def _expand(K, C: int):
+    """(C, C) channel mixer -> (128, 128) block diagonal (differentiable)."""
+    if C == 128:
+        return K
+    return jnp.kron(jnp.eye(128 // C, dtype=K.dtype), K)
+
+
+def conv_h_packed(x, kern, bias, C: int, d: int):
+    """3x1 conv over H (dilation d) on packed (B, H, L); kern (3,1,C,C)."""
+    up, dn = _shift_rows(x, d)
+    y = (_block_matmul(up, _expand(kern[0, 0], C))
+         + _block_matmul(x, _expand(kern[1, 0], C))
+         + _block_matmul(dn, _expand(kern[2, 0], C)))
+    return (y + _tile_lane(bias, x.shape[-1], C)).astype(x.dtype)
+
+
+def conv_w_packed(x, kern, bias, C: int, d: int):
+    """1x3 conv over W (dilation d) on packed (B, H, L); kern (1,3,C,C)."""
+    left, right = _shift_lanes(x, d * C)
+    y = (_block_matmul(left, _expand(kern[0, 0], C))
+         + _block_matmul(x, _expand(kern[0, 1], C))
+         + _block_matmul(right, _expand(kern[0, 2], C)))
+    return (y + _tile_lane(bias, x.shape[-1], C)).astype(x.dtype)
+
+
+def nb1d_packed(x, params: Dict, stats: Dict, *, C: int, d: int,
+                train: bool, drop: float, rng):
+    """One NonBottleneck1D block on a packed plane. Returns (y, new_stats)."""
+    p = params
+    y = jax.nn.relu(conv_h_packed(x, p["conv3x1_1"]["kernel"],
+                                  p["conv3x1_1"]["bias"], C, 1))
+    y = conv_w_packed(y, p["conv1x3_1"]["kernel"], p["conv1x3_1"]["bias"],
+                      C, 1)
+    y, bn1 = batchnorm_packed(y, p["bn1"], stats["bn1"], C, train)
+    y = jax.nn.relu(y)
+    y = jax.nn.relu(conv_h_packed(y, p["conv3x1_2"]["kernel"],
+                                  p["conv3x1_2"]["bias"], C, d))
+    y = conv_w_packed(y, p["conv1x3_2"]["kernel"], p["conv1x3_2"]["bias"],
+                      C, d)
+    y, bn2 = batchnorm_packed(y, p["bn2"], stats["bn2"], C, train)
+    y = dropout2d_packed(y, drop, rng, C, train)
+    return jax.nn.relu(y + x), {"bn1": bn1, "bn2": bn2}
+
+
+# ----------------------------------------------------------------------
+# DownsamplerBlock (ERFNet.py:11-22): conv3x3/s2 || maxpool2x2, concat, BN
+# ----------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _downsampler_idx(cin: int, cin0: int, cc: int, cout: int):
+    """COO lane maps per row tap kh for the strided conv (kern flat index
+    over (3, 3, cin0, cc)) + the constant pool-selection matrix."""
+    n_out = (128 // cin) // 2
+    out_lanes = n_out * cout
+    assert out_lanes % 128 == 0, (cin, cout)
+    rows = []
+    for kh in range(3):
+        m = _CooMaps(128, out_lanes)
+        for w_out in range(n_out):
+            for kw in range(3):
+                w_in = 2 * w_out + kw - 1
+                for ci in range(cin0):
+                    for co in range(cc):
+                        kidx = ((kh * 3 + kw) * cin0 + ci) * cc + co
+                        m.add(w_in, cin, ci, w_out * cout + co, kidx)
+        rows.append(m.finalize())
+    pool = np.zeros((128, out_lanes), np.float32)
+    for w_out in range(n_out):
+        for ci in range(cin0):
+            pool[2 * w_out * cin + ci, w_out * cout + cc + ci] = 1.0
+    return rows, pool
+
+
+def downsampler_packed(x, params: Dict, stats: Dict, *, cin: int, cout: int,
+                       train: bool):
+    """x (B, H, W*cin) -> (B, H/2, (W/2)*cout); cin may be padded (RGB 3->4:
+    callers pad activations, the kernel's input-channel axis stays cin0)."""
+    B, H, L = x.shape
+    kern = params["conv"]["kernel"]  # (3, 3, cin0, cc)
+    cin0, cc = kern.shape[2], kern.shape[3]
+    coo_rows, pool_np = _downsampler_idx(cin, cin0, cc, cout)
+    kflat = kern.reshape(-1)
+    out_lanes = pool_np.shape[1]
+
+    xp = x.reshape(B, H // 2, 2 * L)
+    r0, r1 = xp[..., :L], xp[..., L:]
+    rm1 = jnp.concatenate(
+        [jnp.zeros((B, 1, L), x.dtype), r1[:, :-1]], axis=1)
+
+    acc = None
+    for coo, plane in zip(coo_rows, (rm1, r0, r1)):
+        maps = _build_maps(coo, kflat, 128, out_lanes)
+        term = _apply_maps(plane, maps, 1)
+        acc = term if acc is None else acc + term
+
+    # maxpool 2x2: max over the row pair, then over the w pair (shift by cin).
+    # `where`-based max, NOT jnp.maximum: gradient routing at ties must match
+    # lax.reduce_window's select-and-scatter (all of the gradient to the
+    # row-major-FIRST maximal element). Pool inputs are relu outputs, so
+    # all-zero windows — exact 4-way ties — are common, and maximum's 50/50
+    # tie splitting would route systematically different (sub)gradients into
+    # the conv/BN biases than the flax graph (measured: up to 2x on bias
+    # grads before this fix).
+    p = jnp.where(r0 >= r1, r0, r1)
+    p_sh = jnp.concatenate(
+        [p[..., cin:], jnp.zeros((B, H // 2, cin), x.dtype)], axis=-1)
+    p = jnp.where(p >= p_sh, p, p_sh)
+    acc = acc + _apply_maps(p, {0: jnp.asarray(pool_np)}, 1,
+                            precision=jax.lax.Precision.HIGHEST)
+
+    bias = jnp.concatenate([params["conv"]["bias"],
+                            jnp.zeros((cout - cc,),
+                                      params["conv"]["bias"].dtype)])
+    acc = acc + _tile_lane(bias, acc.shape[-1], cout).astype(acc.dtype)
+    acc = acc.astype(x.dtype)
+    y, bn = batchnorm_packed(acc, params["bn"], stats["bn"], cout, train)
+    return jax.nn.relu(y), {"bn": bn}
+
+
+# ----------------------------------------------------------------------
+# UpsamplerBlock (ConvTranspose 3x3/s2/p1/op1 + BN + relu, ERFNet.py:98-106)
+# ----------------------------------------------------------------------
+
+def _convt_taps(i: int):
+    """(kernel row/col index, input offset) pairs for output phase i of the
+    torch ConvTranspose2d(3, s=2, p=1, op=1) (ops/pallas_backbone.py:199-215,
+    verified by impulse response)."""
+    return [(1, 0)] if i == 0 else [(0, 0), (2, +1)]
+
+
+@functools.lru_cache(maxsize=None)
+def _upsampler_idx(cin: int, cout: int):
+    """COO maps keyed (row phase i, input row offset dh); column phases are
+    folded into the lane map (2*cout channels per input w)."""
+    g_in = 128 // cin if cin <= 128 else 1
+    r_in = 1
+    while (g_in * r_in * 2 * cout) % 128:
+        r_in *= 2
+    n_out = g_in * r_in
+    out_lanes = n_out * 2 * cout
+    maps = {}
+    for i in (0, 1):
+        for kh, dh in _convt_taps(i):
+            m = _CooMaps(128 * r_in, out_lanes)
+            for w_out in range(n_out):
+                for j in (0, 1):
+                    for (kw, dw) in _convt_taps(j):
+                        w_in = w_out + dw
+                        for ci in range(cin):
+                            for co in range(cout):
+                                kidx = ((kh * 3 + kw) * cin + ci) * cout + co
+                                m.add(w_in, cin, ci,
+                                      w_out * 2 * cout + j * cout + co, kidx)
+            maps[(i, dh)] = m.finalize()
+    return maps, r_in, out_lanes
+
+
+def upsampler_packed(x, params: Dict, stats: Dict, *, cin: int, cout: int,
+                     train: bool):
+    """x (B, H, W*cin) -> (B, 2H, 2W*cout)."""
+    B, H, L = x.shape
+    coo, r_in, out_lanes = _upsampler_idx(cin, cout)
+    kflat = params["conv"]["kernel"].reshape(-1)
+    x_next = jnp.concatenate(
+        [x[:, 1:], jnp.zeros((B, 1, L), x.dtype)], axis=1)
+
+    phases = []
+    for i in (0, 1):
+        acc = None
+        for dh, plane in ((0, x), (+1, x_next)):
+            if (i, dh) not in coo:
+                continue
+            maps = _build_maps(coo[(i, dh)], kflat, 128 * r_in, out_lanes)
+            term = _apply_maps(plane, maps, r_in)
+            acc = term if acc is None else acc + term
+        phases.append(acc)
+    y = jnp.stack(phases, axis=2).reshape(B, 2 * H, phases[0].shape[-1])
+    bias = params["conv"]["bias"]
+    y = y + _tile_lane(bias, y.shape[-1], cout).astype(y.dtype)
+    y = y.astype(x.dtype)
+    y, bn = batchnorm_packed(y, params["bn"], stats["bn"], cout, train)
+    return jax.nn.relu(y), {"bn": bn}
+
+
+# ----------------------------------------------------------------------
+# Output head: ConvTranspose 2x2/s2 VALID (ERFNet.py:124)
+# ----------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _head_idx(cin: int, cout: int):
+    g_in = 128 // cin
+    r_in = 1
+    while (g_in * r_in * 2 * cout) % 128:
+        r_in *= 2
+    n_out = g_in * r_in
+    out_lanes = n_out * 2 * cout
+    maps = {}
+    for i in (0, 1):
+        m = _CooMaps(128 * r_in, out_lanes)
+        for w_out in range(n_out):
+            for j in (0, 1):
+                for ci in range(cin):
+                    for co in range(cout):
+                        # flax ConvTranspose applies the spatially FLIPPED
+                        # kernel (models/erfnet.py:147, pallas_backbone.py:286)
+                        kidx = (((1 - i) * 2 + (1 - j)) * cin + ci) * cout + co
+                        m.add(w_out, cin, ci, w_out * 2 * cout + j * cout + co,
+                              kidx)
+        maps[i] = m.finalize()
+    return maps, r_in, out_lanes
+
+
+def head_packed(x, params: Dict, *, cin: int, cout: int):
+    """x (B, H, W*cin) -> (B, 2H, 2W*cout) f32 logits."""
+    B, H, L = x.shape
+    coo, r_in, out_lanes = _head_idx(cin, cout)
+    kflat = params["kernel"].reshape(-1)
+    rows = []
+    for i in (0, 1):
+        maps = _build_maps(coo[i], kflat, 128 * r_in, out_lanes)
+        t = _apply_maps(x, maps, r_in)
+        rows.append(t + _tile_lane(params["bias"], t.shape[-1],
+                                   cout).astype(t.dtype))
+    return jnp.stack(rows, axis=2).reshape(
+        B, 2 * H, rows[0].shape[-1]).astype(jnp.float32)
+
+
+# ----------------------------------------------------------------------
+# Full backbone forward (encoder + decoder), packed end to end
+# ----------------------------------------------------------------------
+
+def erfnet_packed(params: Dict, stats: Dict, images, *, out_channels: int,
+                  train: bool, rng=None, use_main_head: bool = True,
+                  dropout_1: float = 0.03, dropout_2: float = 0.3,
+                  dtype=jnp.bfloat16):
+    """Packed twin of ERFNet.__call__ (models/erfnet.py:178-194).
+
+    Args:
+      params/stats: the `erfnet` subtrees of the flax variables.
+      images: (B, H, W, 3) NHWC input.
+      use_main_head: selects output_conv vs output_conv2 (pretrain dual head).
+    Returns:
+      (enc NHWC (B, H/8, W/8, 128), dec_packed (B, H, W*out_ch) f32 logits,
+       new_stats tree mirroring `stats`).
+    """
+    B, H, W, _ = images.shape
+    x = jnp.pad(images.astype(dtype), ((0, 0), (0, 0), (0, 0), (0, 1)))
+    x = x.reshape(B, H, W * 4)
+    new_enc: Dict[str, Any] = {}
+    new_dec: Dict[str, Any] = {}
+    ep, es = params["encoder"], stats["encoder"]
+
+    def take_rng():
+        nonlocal rng
+        if rng is None:
+            return None
+        rng, sub = jax.random.split(rng)
+        return sub
+
+    x, new_enc["initial_block"] = downsampler_packed(
+        x, ep["initial_block"], es["initial_block"], cin=4, cout=16,
+        train=train)
+    x, new_enc["down1"] = downsampler_packed(
+        x, ep["down1"], es["down1"], cin=16, cout=64, train=train)
+    for name, d in ENC_NB64:
+        x, new_enc[name] = nb1d_packed(
+            x, ep[name], es[name], C=64, d=d, train=train, drop=dropout_1,
+            rng=take_rng())
+    x, new_enc["down2"] = downsampler_packed(
+        x, ep["down2"], es["down2"], cin=64, cout=128, train=train)
+    for name, d in ENC_NB128:
+        x, new_enc[name] = nb1d_packed(
+            x, ep[name], es[name], C=128, d=d, train=train, drop=dropout_2,
+            rng=take_rng())
+    enc = x.reshape(B, H // 8, W // 8, 128)  # C=128: packed == NHWC
+
+    dp, ds = params["decoder"], stats["decoder"]
+    y, new_dec["up1"] = upsampler_packed(x, dp["up1"], ds["up1"], cin=128,
+                                         cout=64, train=train)
+    for name, d in DEC_NB64:
+        y, new_dec[name] = nb1d_packed(y, dp[name], ds[name], C=64, d=d,
+                                       train=train, drop=0.0, rng=None)
+    y, new_dec["up2"] = upsampler_packed(y, dp["up2"], ds["up2"], cin=64,
+                                         cout=16, train=train)
+    for name, d in DEC_NB16:
+        y, new_dec[name] = nb1d_packed(y, dp[name], ds[name], C=16, d=d,
+                                       train=train, drop=0.0, rng=None)
+    head_name = "output_conv" if use_main_head else "output_conv2"
+    dec = head_packed(y, dp[head_name], cin=16, cout=out_channels)
+
+    new_stats = dict(stats)
+    new_stats["encoder"] = {**es, **new_enc}
+    new_stats["decoder"] = {**ds, **new_dec}
+    return enc, dec, new_stats
+
+
+# ----------------------------------------------------------------------
+# Packed e2e tail: activation -> row mask -> separable WLS row sums
+# ----------------------------------------------------------------------
+
+def rowsums_packed(dec_packed, act_fn, xs_norm, *, C: int, resize: int,
+                   mask_percentage: float):
+    """Packed twin of the fused decoder tail (models/fused_graph.py:206-241):
+    w = act(dec); S0[b,c,h] = sum_w (w*mask)^2, S1 with the normalized column
+    coordinate folded in. Never materializes NHWC weight maps.
+
+    Args:
+      dec_packed: (B, H, W*C) f32 logits.
+      xs_norm: (W,) the fitter's centered/normalized column coordinate
+        (WLSFitter._sep_xs).
+    Returns (S0, S1): (B, C, H) each.
+    """
+    B, H, L = dec_packed.shape
+    W = L // C
+    w2 = jnp.square(act_fn(dec_packed))
+    zero_rows = ceil(resize * mask_percentage)
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, H, 1), 1)
+    w2 = jnp.where(row < zero_rows, 0.0, w2)
+    xs_lane = jnp.repeat(xs_norm, C)[None, None, :]  # (1, 1, L)
+    sel = jnp.asarray(_chan_select(C))
+    z0 = w2.reshape(B, H, L // 128, 128)
+    z1 = (w2 * xs_lane).reshape(B, H, L // 128, 128)
+    # HIGHEST: the W-axis reduction is the numerically critical step of the
+    # fit (ops/wls.py point 5) — it must accumulate the f32 w^2 exactly
+    S0 = jnp.einsum("bhgk,kc->bch", z0, sel,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    S1 = jnp.einsum("bhgk,kc->bch", z1, sel,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    return S0, S1

@@ -64,12 +64,28 @@ def _lane_present_mask(gt_params: jax.Array) -> jax.Array:
     return jnp.all(gt_params != 0, axis=-1).astype(jnp.float32)
 
 
+def _resolve_packed(lanenet, cfg: LaneConfig, phase: str) -> bool:
+    """Whether this graph should use the lane-packed backbone
+    (ops/packed_graph.py): explicit cfg.packed_train wins; None = off.
+
+    Off by default: profiling on v5e shows the pure-XLA packed graph loses
+    to the flax NHWC graph (319 vs 376 img/s at 256x512) — XLA materializes
+    a full HBM round-trip at every shift/concat boundary, which outweighs
+    the MXU-occupancy win. The layout idea only pays inside a fused Pallas
+    kernel where planes stay VMEM-resident (ops/pallas_backbone.py does
+    exactly that for inference)."""
+    if cfg.packed_train is not None:
+        return bool(cfg.packed_train) and lanenet.packed_supported(phase)
+    return False
+
+
 def make_loss_fn(lanenet, cfg: LaneConfig, phase: str,
                  train: bool) -> Callable:
     """Returns loss_fn(params, batch_stats, batch, rng) ->
     (loss, (metrics, outputs, new_batch_stats))."""
     profile = cfg.profile
     seg_weights = _seg_class_weights(cfg)
+    use_packed = _resolve_packed(lanenet, cfg, phase)
     if profile == "bp":
         bp_criterion = BackprojectionLoss(cfg.resize, cfg.order,
                                           cfg.no_mapping)
@@ -129,9 +145,10 @@ def make_loss_fn(lanenet, cfg: LaneConfig, phase: str,
         batch = prepare_batch(batch)
         variables = {"params": params, "batch_stats": batch_stats}
         mutable = ["batch_stats"] if train else False
-        res = lanenet.apply(variables, batch["image"], phase=phase,
-                            train=train, rng=rng,
-                            gt_line=batch.get("line"), mutable=mutable)
+        apply = lanenet.apply_packed if use_packed else lanenet.apply
+        res = apply(variables, batch["image"], phase=phase,
+                    train=train, rng=rng,
+                    gt_line=batch.get("line"), mutable=mutable)
         out, new_vars = res if train else (res, None)
         new_bs = new_vars["batch_stats"] if train else batch_stats
         metrics: Dict[str, jax.Array] = {}
