@@ -39,6 +39,11 @@ class DownsamplerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
+        # NOTE: a reshape+where 2x2 max (avoiding reduce_window) was tried
+        # and REGRESSED the full train step 21.3 -> 27 ms/step at bs8 despite
+        # reduce_window+select-and-scatter profiling at only ~0.9 ms — the
+        # where-chain changes layout assignment around the concat and costs
+        # more downstream than it saves. Keep nn.max_pool.
         in_ch = x.shape[-1]
         conv = nn.Conv(self.out_channels - in_ch, (3, 3), strides=(2, 2),
                        padding=((1, 1), (1, 1)), use_bias=True,

@@ -38,6 +38,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def roll_lanes(t: jax.Array, shift: int, interpret: bool) -> jax.Array:
+    """Lane-roll (axis 1) that works for 16-bit data inside Mosaic.
+
+    Mosaic's rotate is 32-bit only ("Rotate with non-32-bit data" compile
+    error), and rolling an f32 COPY of a bf16 plane doubles the VPU traffic
+    and adds cast round-trips. Instead: bitcast bf16 -> i32 (Mosaic packs
+    the SUBLANE dim, lanes unchanged), roll the i32 view, bitcast back —
+    a lane roll is row-uniform, so row packing is transparent."""
+    if interpret:
+        return jnp.roll(t, shift, axis=1)
+    if t.dtype.itemsize == 4:
+        return pltpu.roll(t, shift, axis=1)
+    ti = pltpu.bitcast(t, jnp.int32)
+    return pltpu.bitcast(pltpu.roll(ti, shift, axis=1), t.dtype)
+
+
 def fold_bn(bn_params: Dict, bn_stats: Dict, eps: float = 1e-3):
     """BatchNorm (inference) -> per-channel (mul, add):
     y = (x - mean)/sqrt(var+eps)*scale + bias = x*mul + add."""
@@ -134,28 +150,23 @@ def _nb1d_body(x, consts, *, H, L, C, d, interpret):
 
     def conv_w(t, K, dil):
         s = dil * C
-        t32 = t.astype(jnp.float32)
         if s >= L:
-            z = jnp.zeros_like(t32)
-            out = jnp.dot(z.astype(jnp.bfloat16).reshape(-1, 128), K[0],
-                          preferred_element_type=jnp.float32)
-            out += jnp.dot(t.astype(jnp.bfloat16).reshape(-1, 128), K[1],
+            # both shifted taps fall entirely off the plane
+            return jnp.dot(t.reshape(-1, 128), K[1],
                            preferred_element_type=jnp.float32)
-            return out
-        if interpret:
-            left = jnp.roll(t32, s, axis=1)
-            right = jnp.roll(t32, -s, axis=1)
-        else:
-            left = pltpu.roll(t32, s, axis=1)
-            right = pltpu.roll(t32, L - s, axis=1)
+        # rolls and edge masks stay in the input dtype (bf16): half the VPU
+        # traffic of rolling f32 copies, and no cast round-trips
+        left = roll_lanes(t, s, interpret)
+        right = roll_lanes(t, L - s, interpret)
         lane = jax.lax.broadcasted_iota(jnp.int32, (H, L), 1)
-        left = jnp.where(lane < s, 0.0, left)
-        right = jnp.where(lane >= L - s, 0.0, right)
-        out = jnp.dot(left.astype(jnp.bfloat16).reshape(-1, 128), K[0],
+        zero = jnp.zeros((), t.dtype)
+        left = jnp.where(lane < s, zero, left)
+        right = jnp.where(lane >= L - s, zero, right)
+        out = jnp.dot(left.reshape(-1, 128), K[0],
                       preferred_element_type=jnp.float32)
-        out += jnp.dot(t.astype(jnp.bfloat16).reshape(-1, 128), K[1],
+        out += jnp.dot(t.reshape(-1, 128), K[1],
                        preferred_element_type=jnp.float32)
-        out += jnp.dot(right.astype(jnp.bfloat16).reshape(-1, 128), K[2],
+        out += jnp.dot(right.reshape(-1, 128), K[2],
                        preferred_element_type=jnp.float32)
         return out
 

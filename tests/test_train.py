@@ -60,6 +60,33 @@ def test_optimizer_matches_torch(name):
                                wt.detach().numpy(), rtol=2e-4, atol=1e-6)
 
 
+@pytest.mark.parametrize("name", ["adam", "sgd", "rmsprop"])
+def test_flat_optimizer_matches_per_leaf(name):
+    """optax.flatten'd chain (the TPU launch-overhead fix, train/optim.py)
+    must be bit-equivalent to the per-leaf chain, and keep the injected
+    learning rate reachable for the scheduler."""
+    params = {"a": jnp.full((3, 4), 0.5),
+              "b": {"w": jnp.arange(5.0), "c": jnp.ones(())}}
+    grads = jax.tree_util.tree_map(lambda p: p * 0.1 + 0.03, params)
+    t_flat = define_optim(name, 1e-3, weight_decay=1e-4, clip_grad_norm=1.0)
+    t_leaf = define_optim(name, 1e-3, weight_decay=1e-4, clip_grad_norm=1.0,
+                          flatten=False)
+    sf, sl = t_flat.init(params), t_leaf.init(params)
+    pf = pl = params
+    for i in range(3):
+        gi = jax.tree_util.tree_map(lambda g: g * (i + 1), grads)
+        uf, sf = t_flat.update(gi, sf, pf)
+        ul, sl = t_leaf.update(gi, sl, pl)
+        pf = jax.tree_util.tree_map(lambda p, u: p + u, pf, uf)
+        pl = jax.tree_util.tree_map(lambda p, u: p + u, pl, ul)
+    for (path, lf), (_, ll) in zip(jax.tree_util.tree_leaves_with_path(pf),
+                                   jax.tree_util.tree_leaves_with_path(pl)):
+        np.testing.assert_allclose(np.asarray(lf), np.asarray(ll), rtol=1e-6,
+                                   err_msg=f"{name} {path}")
+    sf = set_lr(sf, 5e-4)
+    assert abs(get_lr(sf) - 5e-4) < 1e-12
+
+
 def test_lr_injection():
     tx = define_optim("adam", 1e-3)
     state = tx.init({"w": jnp.zeros(3)})
