@@ -208,11 +208,14 @@ class LaneNet:
         head_rng = enc_rng = None
         if train and rng is not None:
             enc_rng, head_rng = jax.random.split(rng)
+        # Pallas conv kernels carry the shift+matmul structure that XLA would
+        # otherwise materialize through HBM; pure-jnp fallback off-TPU.
         enc, dec, new_erf_stats = erfnet_packed(
             variables["params"]["erfnet"],
             variables["batch_stats"]["erfnet"], images,
             out_channels=out_ch, train=train, rng=enc_rng,
-            use_main_head=True, dtype=self.dtype)
+            use_main_head=True, dtype=self.dtype,
+            pallas_convs=jax.default_backend() == "tpu")
         S0, S1 = rowsums_packed(dec, self._act, self.fitter._sep_xs,
                                 C=out_ch, resize=cfg.resize,
                                 mask_percentage=cfg.mask_percentage)

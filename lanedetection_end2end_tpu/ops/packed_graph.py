@@ -1,12 +1,17 @@
-"""Differentiable lane-packed ERFNet (experimental training layout,
-opt-in via cfg.packed_train).
+"""Differentiable lane-packed ERFNet — the TRAINING fast path.
 
-Measured on v5e at 256x512: this pure-XLA formulation LOSES to the flax
-NHWC graph (319 vs 376 img/s) — profiling shows XLA materializes a full
-HBM round-trip (~100 us each at bs16) at every shift/concatenate boundary,
-outweighing the MXU-occupancy gain. It is kept as a correct, parity-tested
-alternative layout (and the building block for a VMEM-resident Pallas
-training kernel, where the same formulation does pay off).
+Two interchangeable execution modes, selected by `pallas_convs`:
+
+- pure-jnp (CPU / interpret / oracle): every conv is shift + block-diagonal
+  einsum. Measured on v5e this LOSES to the flax NHWC graph (319 vs 386
+  img/s at 256x512) — XLA materializes a full HBM round-trip (~100 us at
+  bs16) for every shift/concatenate feeding a conv.
+- pallas_convs=True (TPU training): the convs (+bias+relu epilogues) and
+  the BatchNorm batch moments run as custom_vjp Pallas kernels
+  (ops/pallas_packed_conv.py) in which the shifted views never touch HBM.
+  Measured 518 img/s at bs32 — 1.3x the flax graph, 1.8x the round-1
+  record. Auto-enabled for single-device TPU training
+  (train/steps.py::_resolve_packed).
 
 The inference engine (ops/pallas_nb1d.py, ops/pallas_backbone.py,
 models/fused_graph.py) showed where XLA loses the backbone's time: NHWC
@@ -169,12 +174,18 @@ def _chan_select(C: int) -> np.ndarray:
     return sel
 
 
-def _channel_moments(x, C: int):
+def _channel_moments(x, C: int, pallas: bool = False):
     """Per-channel mean and mean-of-squares of a packed (B, H, L) tensor."""
     B, H, L = x.shape
     sel = jnp.asarray(_chan_select(C))
-    xf = x.astype(jnp.float32).reshape(B, H, L // 128, 128)
     n = B * H * (L // C)
+    if pallas:
+        from lanedetection_end2end_tpu.ops.pallas_packed_conv import \
+            channel_sums
+        sel_pad = jnp.zeros((128, 128), jnp.float32).at[:, :C].set(sel)
+        sums = channel_sums(x, sel_pad, C)
+        return sums[0, :C] / n, sums[1, :C] / n
+    xf = x.astype(jnp.float32).reshape(B, H, L // 128, 128)
     # HIGHEST: the selection must not bf16-round the activations — batch
     # statistics feed the normalization (and flax reduces in f32)
     s1 = jnp.einsum("bhgk,kc->c", xf, sel,
@@ -189,7 +200,8 @@ def _tile_lane(v, L: int, C: int):
     return jnp.tile(v, L // C)
 
 
-def batchnorm_packed(x, bn_params: Dict, bn_stats: Dict, C: int, train: bool):
+def batchnorm_packed(x, bn_params: Dict, bn_stats: Dict, C: int, train: bool,
+                     pallas: bool = False):
     """flax.linen.BatchNorm semantics on a packed (B, H, L) tensor.
 
     Returns (y, new_stats): batch statistics (biased variance) in train mode,
@@ -197,7 +209,7 @@ def batchnorm_packed(x, bn_params: Dict, bn_stats: Dict, C: int, train: bool):
     momentum 0.9 (torch momentum 0.1, models/erfnet.py:30-33)."""
     L = x.shape[-1]
     if train:
-        mean, mean2 = _channel_moments(x, C)
+        mean, mean2 = _channel_moments(x, C, pallas=pallas)
         var = mean2 - jnp.square(mean)
         new_stats = {
             "mean": _BN_MOMENTUM * bn_stats["mean"]
@@ -271,39 +283,61 @@ def _expand(K, C: int):
     return jnp.kron(jnp.eye(128 // C, dtype=K.dtype), K)
 
 
-def conv_h_packed(x, kern, bias, C: int, d: int):
-    """3x1 conv over H (dilation d) on packed (B, H, L); kern (3,1,C,C)."""
+def conv_h_packed(x, kern, bias, C: int, d: int, pallas: bool = False,
+                  act: bool = False):
+    """3x1 conv over H (dilation d) on packed (B, H, L); kern (3,1,C,C).
+    `act` fuses the following relu (exact: relu commutes with the bf16
+    cast)."""
+    if pallas:
+        from lanedetection_end2end_tpu.ops.pallas_packed_conv import \
+            packed_conv_act
+        kexp = jnp.stack([_expand(kern[t, 0].astype(jnp.float32), C)
+                          for t in range(3)])
+        btile = _tile_lane(bias.astype(jnp.float32), 128, C)[None]
+        return packed_conv_act(x, kexp, btile, "h", d, act)
     up, dn = _shift_rows(x, d)
     y = (_block_matmul(up, _expand(kern[0, 0], C))
          + _block_matmul(x, _expand(kern[1, 0], C))
          + _block_matmul(dn, _expand(kern[2, 0], C)))
-    return (y + _tile_lane(bias, x.shape[-1], C)).astype(x.dtype)
+    y = (y + _tile_lane(bias, x.shape[-1], C)).astype(x.dtype)
+    return jax.nn.relu(y) if act else y
 
 
-def conv_w_packed(x, kern, bias, C: int, d: int):
+def conv_w_packed(x, kern, bias, C: int, d: int, pallas: bool = False,
+                  act: bool = False):
     """1x3 conv over W (dilation d) on packed (B, H, L); kern (1,3,C,C)."""
+    if pallas:
+        from lanedetection_end2end_tpu.ops.pallas_packed_conv import \
+            packed_conv_act
+        kexp = jnp.stack([_expand(kern[0, t].astype(jnp.float32), C)
+                          for t in range(3)])
+        btile = _tile_lane(bias.astype(jnp.float32), 128, C)[None]
+        return packed_conv_act(x, kexp, btile, "w", d * C, act)
     left, right = _shift_lanes(x, d * C)
     y = (_block_matmul(left, _expand(kern[0, 0], C))
          + _block_matmul(x, _expand(kern[0, 1], C))
          + _block_matmul(right, _expand(kern[0, 2], C)))
-    return (y + _tile_lane(bias, x.shape[-1], C)).astype(x.dtype)
+    y = (y + _tile_lane(bias, x.shape[-1], C)).astype(x.dtype)
+    return jax.nn.relu(y) if act else y
 
 
 def nb1d_packed(x, params: Dict, stats: Dict, *, C: int, d: int,
-                train: bool, drop: float, rng):
+                train: bool, drop: float, rng, pallas: bool = False):
     """One NonBottleneck1D block on a packed plane. Returns (y, new_stats)."""
     p = params
-    y = jax.nn.relu(conv_h_packed(x, p["conv3x1_1"]["kernel"],
-                                  p["conv3x1_1"]["bias"], C, 1))
+    y = conv_h_packed(x, p["conv3x1_1"]["kernel"],
+                      p["conv3x1_1"]["bias"], C, 1, pallas=pallas, act=True)
     y = conv_w_packed(y, p["conv1x3_1"]["kernel"], p["conv1x3_1"]["bias"],
-                      C, 1)
-    y, bn1 = batchnorm_packed(y, p["bn1"], stats["bn1"], C, train)
+                      C, 1, pallas=pallas)
+    y, bn1 = batchnorm_packed(y, p["bn1"], stats["bn1"], C, train,
+                              pallas=pallas)
     y = jax.nn.relu(y)
-    y = jax.nn.relu(conv_h_packed(y, p["conv3x1_2"]["kernel"],
-                                  p["conv3x1_2"]["bias"], C, d))
+    y = conv_h_packed(y, p["conv3x1_2"]["kernel"],
+                      p["conv3x1_2"]["bias"], C, d, pallas=pallas, act=True)
     y = conv_w_packed(y, p["conv1x3_2"]["kernel"], p["conv1x3_2"]["bias"],
-                      C, d)
-    y, bn2 = batchnorm_packed(y, p["bn2"], stats["bn2"], C, train)
+                      C, d, pallas=pallas)
+    y, bn2 = batchnorm_packed(y, p["bn2"], stats["bn2"], C, train,
+                              pallas=pallas)
     y = dropout2d_packed(y, drop, rng, C, train)
     return jax.nn.relu(y + x), {"bn1": bn1, "bn2": bn2}
 
@@ -338,7 +372,7 @@ def _downsampler_idx(cin: int, cin0: int, cc: int, cout: int):
 
 
 def downsampler_packed(x, params: Dict, stats: Dict, *, cin: int, cout: int,
-                       train: bool):
+                       train: bool, pallas: bool = False):
     """x (B, H, W*cin) -> (B, H/2, (W/2)*cout); cin may be padded (RGB 3->4:
     callers pad activations, the kernel's input-channel axis stays cin0)."""
     B, H, L = x.shape
@@ -379,7 +413,8 @@ def downsampler_packed(x, params: Dict, stats: Dict, *, cin: int, cout: int,
                                       params["conv"]["bias"].dtype)])
     acc = acc + _tile_lane(bias, acc.shape[-1], cout).astype(acc.dtype)
     acc = acc.astype(x.dtype)
-    y, bn = batchnorm_packed(acc, params["bn"], stats["bn"], cout, train)
+    y, bn = batchnorm_packed(acc, params["bn"], stats["bn"], cout, train,
+                             pallas=pallas)
     return jax.nn.relu(y), {"bn": bn}
 
 
@@ -422,7 +457,7 @@ def _upsampler_idx(cin: int, cout: int):
 
 
 def upsampler_packed(x, params: Dict, stats: Dict, *, cin: int, cout: int,
-                     train: bool):
+                     train: bool, pallas: bool = False):
     """x (B, H, W*cin) -> (B, 2H, 2W*cout)."""
     B, H, L = x.shape
     coo, r_in, out_lanes = _upsampler_idx(cin, cout)
@@ -430,6 +465,7 @@ def upsampler_packed(x, params: Dict, stats: Dict, *, cin: int, cout: int,
     x_next = jnp.concatenate(
         [x[:, 1:], jnp.zeros((B, 1, L), x.dtype)], axis=1)
 
+    bias = params["conv"]["bias"]
     phases = []
     for i in (0, 1):
         acc = None
@@ -439,12 +475,15 @@ def upsampler_packed(x, params: Dict, stats: Dict, *, cin: int, cout: int,
             maps = _build_maps(coo[(i, dh)], kflat, 128 * r_in, out_lanes)
             term = _apply_maps(plane, maps, r_in)
             acc = term if acc is None else acc + term
-        phases.append(acc)
+        # bias + cast per phase plane, BEFORE the row interleave: the
+        # (B, H, 2, L) -> (B, 2H, L) relayout is the single most expensive
+        # XLA op of the packed graph (2.8 ms f32 at bs16); doing it in bf16
+        # halves that traffic in both directions of autodiff
+        acc = acc + _tile_lane(bias, acc.shape[-1], cout)
+        phases.append(acc.astype(x.dtype))
     y = jnp.stack(phases, axis=2).reshape(B, 2 * H, phases[0].shape[-1])
-    bias = params["conv"]["bias"]
-    y = y + _tile_lane(bias, y.shape[-1], cout).astype(y.dtype)
-    y = y.astype(x.dtype)
-    y, bn = batchnorm_packed(y, params["bn"], stats["bn"], cout, train)
+    y, bn = batchnorm_packed(y, params["bn"], stats["bn"], cout, train,
+                             pallas=pallas)
     return jax.nn.relu(y), {"bn": bn}
 
 
@@ -498,7 +537,7 @@ def head_packed(x, params: Dict, *, cin: int, cout: int):
 def erfnet_packed(params: Dict, stats: Dict, images, *, out_channels: int,
                   train: bool, rng=None, use_main_head: bool = True,
                   dropout_1: float = 0.03, dropout_2: float = 0.3,
-                  dtype=jnp.bfloat16):
+                  dtype=jnp.bfloat16, pallas_convs: bool = False):
     """Packed twin of ERFNet.__call__ (models/erfnet.py:178-194).
 
     Args:
@@ -525,32 +564,38 @@ def erfnet_packed(params: Dict, stats: Dict, images, *, out_channels: int,
 
     x, new_enc["initial_block"] = downsampler_packed(
         x, ep["initial_block"], es["initial_block"], cin=4, cout=16,
-        train=train)
+        train=train, pallas=pallas_convs)
     x, new_enc["down1"] = downsampler_packed(
-        x, ep["down1"], es["down1"], cin=16, cout=64, train=train)
+        x, ep["down1"], es["down1"], cin=16, cout=64, train=train,
+        pallas=pallas_convs)
     for name, d in ENC_NB64:
         x, new_enc[name] = nb1d_packed(
             x, ep[name], es[name], C=64, d=d, train=train, drop=dropout_1,
-            rng=take_rng())
+            rng=take_rng(), pallas=pallas_convs)
     x, new_enc["down2"] = downsampler_packed(
-        x, ep["down2"], es["down2"], cin=64, cout=128, train=train)
+        x, ep["down2"], es["down2"], cin=64, cout=128, train=train,
+        pallas=pallas_convs)
     for name, d in ENC_NB128:
         x, new_enc[name] = nb1d_packed(
             x, ep[name], es[name], C=128, d=d, train=train, drop=dropout_2,
-            rng=take_rng())
+            rng=take_rng(), pallas=pallas_convs)
     enc = x.reshape(B, H // 8, W // 8, 128)  # C=128: packed == NHWC
 
     dp, ds = params["decoder"], stats["decoder"]
     y, new_dec["up1"] = upsampler_packed(x, dp["up1"], ds["up1"], cin=128,
-                                         cout=64, train=train)
+                                         cout=64, train=train,
+                                         pallas=pallas_convs)
     for name, d in DEC_NB64:
         y, new_dec[name] = nb1d_packed(y, dp[name], ds[name], C=64, d=d,
-                                       train=train, drop=0.0, rng=None)
+                                       train=train, drop=0.0, rng=None,
+                                       pallas=pallas_convs)
     y, new_dec["up2"] = upsampler_packed(y, dp["up2"], ds["up2"], cin=64,
-                                         cout=16, train=train)
+                                         cout=16, train=train,
+                                         pallas=pallas_convs)
     for name, d in DEC_NB16:
         y, new_dec[name] = nb1d_packed(y, dp[name], ds[name], C=16, d=d,
-                                       train=train, drop=0.0, rng=None)
+                                       train=train, drop=0.0, rng=None,
+                                       pallas=pallas_convs)
     head_name = "output_conv" if use_main_head else "output_conv2"
     dec = head_packed(y, dp[head_name], cin=16, cout=out_channels)
 

@@ -66,17 +66,19 @@ def _lane_present_mask(gt_params: jax.Array) -> jax.Array:
 
 def _resolve_packed(lanenet, cfg: LaneConfig, phase: str) -> bool:
     """Whether this graph should use the lane-packed backbone
-    (ops/packed_graph.py): explicit cfg.packed_train wins; None = off.
+    (ops/packed_graph.py): explicit cfg.packed_train wins; None = auto.
 
-    Off by default: profiling on v5e shows the pure-XLA packed graph loses
-    to the flax NHWC graph (319 vs 376 img/s at 256x512) — XLA materializes
-    a full HBM round-trip at every shift/concat boundary, which outweighs
-    the MXU-occupancy win. The layout idea only pays inside a fused Pallas
-    kernel where planes stay VMEM-resident (ops/pallas_backbone.py does
-    exactly that for inference)."""
+    Auto = on for SINGLE-DEVICE TPU runs: with the Pallas packed-conv
+    kernels (ops/pallas_packed_conv.py) the packed step measures 518 img/s
+    at 256x512 bs32 vs 386 for the flax NHWC graph on v5e. On a mesh the
+    flax graph is used instead — the packed path's pallas_calls are not
+    GSPMD-partitionable (they would need a shard_map wrapper with explicit
+    psum of BN statistics and gradients; see models/infer_engine.py's
+    sharded serving for the pattern)."""
     if cfg.packed_train is not None:
         return bool(cfg.packed_train) and lanenet.packed_supported(phase)
-    return False
+    return (jax.default_backend() == "tpu" and jax.device_count() == 1
+            and lanenet.packed_supported(phase))
 
 
 def make_loss_fn(lanenet, cfg: LaneConfig, phase: str,
