@@ -148,10 +148,10 @@ def bench_pipeline(batch_size: int, num_images: int = 96, epochs: int = 4
 def main():
     platform = jax.devices()[0].platform
     mode = os.environ.get("BENCH_MODE", "infer")
-    # best measured: inference plateaus at bs32; the training step (layout-
-    # bound backward) is fastest at bs8
+    # best measured: inference plateaus at bs32; the packed-kernel training
+    # step (auto on single-device TPU) improves with batch up to bs32
     sweep = tuple(int(b) for b in os.environ.get(
-        "BENCH_BATCH_SIZES", "8" if mode == "train" else "32").split(","))
+        "BENCH_BATCH_SIZES", "32").split(","))
     dtype = (jnp.float32 if os.environ.get("BENCH_DTYPE") == "f32"
              else jnp.bfloat16)
     best_tp, best_bs = 0.0, sweep[0]

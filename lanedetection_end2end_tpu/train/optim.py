@@ -22,15 +22,15 @@ import optax
 
 def define_optim(name: str, learning_rate: float, weight_decay: float = 0.0,
                  clip_grad_norm: float = 0.0,
-                 flatten: bool = True) -> optax.GradientTransformation:
+                 flatten: bool = False) -> optax.GradientTransformation:
     """Build the optax chain. The learning rate is injectable:
     `opt_state.hyperparams['learning_rate']` (see `set_lr`).
 
     `flatten` runs the (purely elementwise) update on one concatenated
-    parameter vector instead of ~230 separate leaves: identical math, but
-    the train step issues a handful of large device ops instead of ~2300
-    tiny per-leaf DMAs (measured ~1.5 ms/step of pure launch overhead on
-    TPU at ERFNet size)."""
+    parameter vector (bit-identical; tested). Default OFF: it was meant to
+    collapse ~2300 tiny per-leaf DMAs (~1.5 ms/step), but optax.flatten's
+    unflatten lowers to an f32[N,4] split running at 4/128 lane occupancy —
+    2.8 ms/step on the profile, a net LOSS on TPU."""
 
     def core(learning_rate):
         chain = []
