@@ -1,23 +1,34 @@
 #!/usr/bin/env python
-"""Throughput benchmark: end-to-end inference images/sec/chip at 256x512.
+"""Throughput benchmark: images/sec/chip at 256x512, with repeats + medians.
 
-Measures the flagship path (ERFNet forward -> activation/mask -> weighted-LSQ
-fit -> line/horizon gating -> backprojection to TuSimple coordinates) and
-prints ONE JSON line.
+Measures three throughputs and prints ONE JSON line whose headline metric is
+end-to-end inference (ERFNet forward -> activation/mask -> weighted-LSQ fit
+-> line/horizon gating -> backprojection to TuSimple coordinates):
+
+  {"metric": "inference_images_per_sec_per_chip_256x512_...",
+   "value": <median over repeats>, "unit": "images/sec",
+   "vs_baseline": <value / 50>,
+   "detail": {"infer": {...}, "train": {...}, "pipeline": {...}}}
+
+Each mode is timed `BENCH_REPEATS` times (default 3) after shared warmup and
+reports median/min/max so round-over-round deltas are distinguishable from
+run-to-run noise (r01->r02 moved 2.5% with no code change on the inference
+path — inside single-run noise).
 
 Baseline: the reference writes `run_time = 20` ms/image into its TuSimple
 submissions (Backprojection_Loss/test.py:97) => 50 images/sec on its
 unspecified single GPU. `vs_baseline` is measured-throughput / 50.
 
-Defaults are tuned for this environment (remote-compile TPU tunnel where
-every XLA compile costs minutes): one batch size, bfloat16 backbone.
-Override with BENCH_BATCH_SIZES=8,32 BENCH_DTYPE=f32 for sweeps.
+Env knobs: BENCH_MODE=infer|train|pipeline|all (default all on TPU, infer
+elsewhere), BENCH_BATCH_SIZES=8,32, BENCH_DTYPE=f32, BENCH_REPEATS=3,
+BENCH_PACKED=0/1 (force packed/flax train graph).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import time
 
 import numpy as np
@@ -37,10 +48,17 @@ from lanedetection_end2end_tpu.eval.test_driver import make_infer_fn
 from lanedetection_end2end_tpu.models import LaneNet
 
 BASELINE_IMG_PER_SEC = 50.0  # 20 ms/image claimed by the reference
+REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
 
 
-def bench_batch_size(batch_size: int, dtype, warmup: int = 5,
-                     iters: int = 50, use_engine: bool = True) -> float:
+def _stats(samples):
+    return {"median": round(statistics.median(samples), 2),
+            "min": round(min(samples), 2), "max": round(max(samples), 2),
+            "repeats": len(samples)}
+
+
+def bench_infer(batch_size: int, dtype, warmup: int = 5, iters: int = 50,
+                use_engine: bool = True) -> list:
     cfg = train_sh_config(resize=256, batch_size=batch_size, reg_ls=1.0)
     lanenet = LaneNet(cfg, dtype=dtype)
     # init on CPU: avoids paying a TPU compile for parameter initialization
@@ -62,16 +80,17 @@ def bench_batch_size(batch_size: int, dtype, warmup: int = 5,
         ).astype(np.float32)).astype(dtype)
     for _ in range(warmup):
         infer(variables, images).block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = infer(variables, images)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
-    return batch_size * iters / dt
+    samples = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = infer(variables, images)
+        out.block_until_ready()
+        samples.append(batch_size * iters / (time.perf_counter() - t0))
+    return samples
 
 
-def bench_train_step(batch_size: int, warmup: int = 3, iters: int = 20
-                     ) -> float:
+def bench_train(batch_size: int, warmup: int = 3, iters: int = 20) -> list:
     """Training throughput (img/s): full jitted e2e train step (fwd + bwd +
     adam + BN stats) on the flagship config."""
     from lanedetection_end2end_tpu.data import SyntheticLanes
@@ -95,15 +114,18 @@ def bench_train_step(batch_size: int, warmup: int = 3, iters: int = 20
     for _ in range(warmup):
         state, m = step(state, batch, rng)
     jax.block_until_ready(m["loss"])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, m = step(state, batch, rng)
-    jax.block_until_ready(m["loss"])
-    return batch_size * iters / (time.perf_counter() - t0)
+    samples = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, m = step(state, batch, rng)
+        jax.block_until_ready(m["loss"])
+        samples.append(batch_size * iters / (time.perf_counter() - t0))
+    return samples
 
 
 def bench_pipeline(batch_size: int, num_images: int = 96, epochs: int = 4
-                   ) -> float:
+                   ) -> list:
     """Host input-pipeline throughput (img/s): PNG decode -> crop/resize
     (C++ laneops) -> collate -> sharded device_put, via
     LaneDataset -> Loader -> DevicePrefetcher. Demonstrates the host feed can
@@ -132,43 +154,59 @@ def bench_pipeline(batch_size: int, num_images: int = 96, epochs: int = 4
     # On 1-core hosts with a remote-tunneled device, background threads only
     # convoy the GIL against the RPC layer; run synchronously there.
     depth = 2 if (os.cpu_count() or 1) > 1 else 0
-    count = 0
     # warmup epoch (thread pools, native lib build, image cache)
     for batch in DevicePrefetcher(loader, depth=depth):
         jax.block_until_ready(batch["image"])
-    t0 = time.perf_counter()
-    for epoch in range(epochs):
-        loader.set_epoch(epoch)
-        for batch in DevicePrefetcher(loader, depth=depth):
-            jax.block_until_ready(batch["image"])
-            count += batch["image"].shape[0]
-    return count / (time.perf_counter() - t0)
+    samples = []
+    for rep in range(REPEATS):
+        count = 0
+        t0 = time.perf_counter()
+        for epoch in range(epochs):
+            loader.set_epoch(rep * epochs + epoch)
+            for batch in DevicePrefetcher(loader, depth=depth):
+                jax.block_until_ready(batch["image"])
+                count += batch["image"].shape[0]
+        samples.append(count / (time.perf_counter() - t0))
+    return samples
 
 
 def main():
     platform = jax.devices()[0].platform
-    mode = os.environ.get("BENCH_MODE", "infer")
+    default_mode = "all" if platform != "cpu" else "infer"
+    mode = os.environ.get("BENCH_MODE", default_mode)
     # best measured: inference plateaus at bs32; the packed-kernel training
     # step (auto on single-device TPU) improves with batch up to bs32
     sweep = tuple(int(b) for b in os.environ.get(
         "BENCH_BATCH_SIZES", "32").split(","))
     dtype = (jnp.float32 if os.environ.get("BENCH_DTYPE") == "f32"
              else jnp.bfloat16)
-    best_tp, best_bs = 0.0, sweep[0]
-    for bs in sweep:
-        tp = (bench_train_step(bs) if mode == "train"
-              else bench_pipeline(bs) if mode == "pipeline"
-              else bench_batch_size(bs, dtype))
-        if tp > best_tp:
-            best_tp, best_bs = tp, bs
-    name = ("train_images_per_sec_per_chip_256x512" if mode == "train"
-            else "input_pipeline_images_per_sec_256x512" if mode == "pipeline"
-            else "inference_images_per_sec_per_chip_256x512")
+
+    detail = {}
+    if mode in ("infer", "all"):
+        best = None
+        for bs in sweep:
+            s = bench_infer(bs, dtype)
+            if best is None or statistics.median(s) > best[1]:
+                best = (bs, statistics.median(s), s)
+        detail["infer"] = {**_stats(best[2]), "batch_size": best[0]}
+    if mode in ("train", "all"):
+        s = bench_train(sweep[-1])
+        detail["train"] = {**_stats(s), "batch_size": sweep[-1]}
+    if mode in ("pipeline", "all"):
+        s = bench_pipeline(sweep[-1])
+        detail["pipeline"] = {**_stats(s), "batch_size": sweep[-1]}
+
+    head_key = mode if mode != "all" else "infer"
+    name = {"train": "train_images_per_sec_per_chip_256x512",
+            "pipeline": "input_pipeline_images_per_sec_256x512",
+            "infer": "inference_images_per_sec_per_chip_256x512"}[head_key]
+    head = detail[head_key]
     print(json.dumps({
-        "metric": f"{name}_bs{best_bs}_{platform}",
-        "value": round(best_tp, 2),
+        "metric": f"{name}_bs{head['batch_size']}_{platform}",
+        "value": head["median"],
         "unit": "images/sec",
-        "vs_baseline": round(best_tp / BASELINE_IMG_PER_SEC, 3),
+        "vs_baseline": round(head["median"] / BASELINE_IMG_PER_SEC, 3),
+        "detail": detail,
     }))
 
 

@@ -394,13 +394,16 @@ def downsampler_packed(x, params: Dict, stats: Dict, *, cin: int, cout: int,
         acc = term if acc is None else acc + term
 
     # maxpool 2x2: max over the row pair, then over the w pair (shift by cin).
-    # `where`-based max, NOT jnp.maximum: gradient routing at ties must match
-    # lax.reduce_window's select-and-scatter (all of the gradient to the
-    # row-major-FIRST maximal element). Pool inputs are relu outputs, so
-    # all-zero windows — exact 4-way ties — are common, and maximum's 50/50
-    # tie splitting would route systematically different (sub)gradients into
-    # the conv/BN biases than the flax graph (measured: up to 2x on bias
-    # grads before this fix).
+    # `where`-based max, NOT jnp.maximum: gradient routing at ties should
+    # match lax.reduce_window's select-and-scatter (all of the gradient to
+    # one maximal element, not maximum's 50/50 split). Pool inputs are relu
+    # outputs, so all-zero windows — exact 4-way ties — are common, and tie
+    # splitting measurably skewed conv/BN bias grads (up to 2x) before this
+    # fix. All-zero windows route identically to reduce_window; the one
+    # remaining divergence is exact ties between distinct NONZERO
+    # activations across positions (e.g. (r1,2w) vs (r0,2w+1)), where this
+    # chain picks the column-first element and reduce_window the row-major
+    # first — vanishingly rare with real activations.
     p = jnp.where(r0 >= r1, r0, r1)
     p_sh = jnp.concatenate(
         [p[..., cin:], jnp.zeros((B, H // 2, cin), x.dtype)], axis=-1)

@@ -76,6 +76,14 @@ def _resolve_packed(lanenet, cfg: LaneConfig, phase: str) -> bool:
     psum of BN statistics and gradients; see models/infer_engine.py's
     sharded serving for the pattern)."""
     if cfg.packed_train is not None:
+        if cfg.packed_train and not lanenet.packed_supported(phase):
+            import warnings
+            warnings.warn(
+                "packed_train=True was forced but the packed backbone does "
+                f"not support this configuration (phase={phase!r}); falling "
+                "back to the flax graph. Check homography separability / "
+                "resize alignment (LaneNet.packed_supported).",
+                RuntimeWarning, stacklevel=2)
         return bool(cfg.packed_train) and lanenet.packed_supported(phase)
     return (jax.default_backend() == "tpu" and jax.device_count() == 1
             and lanenet.packed_supported(phase))

@@ -68,7 +68,8 @@ def test_flat_optimizer_matches_per_leaf(name):
     params = {"a": jnp.full((3, 4), 0.5),
               "b": {"w": jnp.arange(5.0), "c": jnp.ones(())}}
     grads = jax.tree_util.tree_map(lambda p: p * 0.1 + 0.03, params)
-    t_flat = define_optim(name, 1e-3, weight_decay=1e-4, clip_grad_norm=1.0)
+    t_flat = define_optim(name, 1e-3, weight_decay=1e-4, clip_grad_norm=1.0,
+                          flatten=True)
     t_leaf = define_optim(name, 1e-3, weight_decay=1e-4, clip_grad_norm=1.0,
                           flatten=False)
     sf, sl = t_flat.init(params), t_leaf.init(params)
