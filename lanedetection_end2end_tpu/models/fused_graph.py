@@ -28,7 +28,8 @@ from lanedetection_end2end_tpu.config import LaneConfig
 from lanedetection_end2end_tpu.ops.pallas_backbone import (
     body_downsampler, body_head, body_upsampler, pack_downsampler, pack_head,
     pack_upsampler)
-from lanedetection_end2end_tpu.ops.pallas_nb1d import _nb1d_body, pack_nb1d
+from lanedetection_end2end_tpu.ops.pallas_nb1d import (
+    _nb1d_body, pack_nb1d, wino_hint)
 
 _ENC_NB64 = [(f"nb64_{i}", 1) for i in range(5)]
 _ENC_NB128 = [(f"nb128_{j}_d{d}", d) for j in range(2) for d in (2, 4, 8, 16)]
@@ -92,8 +93,13 @@ def pack_encoder(variables, cfg: LaneConfig):
         "down1": pack_downsampler(p["down1"], s["down1"], 16, 64),
         "down2": pack_downsampler(p["down2"], s["down2"], 64, 128),
     }
-    for name, d in _ENC_NB64 + _ENC_NB128:
-        packed[name] = pack_nb1d(p[name], s[name], d)
+    h_nb64 = wino_hint(cfg.image_height // 4)
+    h_nb128 = wino_hint(cfg.image_height // 8)
+    for name, d in _ENC_NB64:
+        packed[name] = pack_nb1d(p[name], s[name], d, h_hint=h_nb64)
+        packed[name].pop("C"), packed[name].pop("dilation")
+    for name, d in _ENC_NB128:
+        packed[name] = pack_nb1d(p[name], s[name], d, h_hint=h_nb128)
         packed[name].pop("C"), packed[name].pop("dilation")
     return _flatten_packed(packed)
 
@@ -160,8 +166,13 @@ def pack_decoder(variables, cfg: LaneConfig, fitter):
         "up2": pack_upsampler(p["up2"], s["up2"], 64, 16),
         "head": pack_head(p["output_conv"], 16, out_ch),
     }
-    for name, d in _DEC_NB64 + _DEC_NB16:
-        packed[name] = pack_nb1d(p[name], s[name], d)
+    for name, d in _DEC_NB64:
+        packed[name] = pack_nb1d(p[name], s[name], d,
+                                 h_hint=wino_hint(cfg.image_height // 4))
+        packed[name].pop("C"), packed[name].pop("dilation")
+    for name, d in _DEC_NB16:
+        packed[name] = pack_nb1d(p[name], s[name], d,
+                                 h_hint=wino_hint(cfg.image_height // 2))
         packed[name].pop("C"), packed[name].pop("dilation")
 
     # WLS row-sum constants. Mosaic cannot hold tiny-lane (N, C) vectors,

@@ -25,6 +25,9 @@ class Classification(nn.Module):
     # 'bp':  single 4-way presence head  -> (B, 4) logits
     variant: str = "bp"
     dtype: Any = jnp.float32
+    # mesh axis to reduce train-mode BN statistics over (sync-BN) when the
+    # caller runs inside shard_map; None under jit (GSPMD syncs implicitly)
+    axis_name: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -35,6 +38,7 @@ class Classification(nn.Module):
                         name=f"conv{i + 1}")(x)
             x = nn.BatchNorm(use_running_average=not train, epsilon=_BN_EPS,
                              momentum=_BN_MOMENTUM, dtype=self.dtype,
+                             axis_name=self.axis_name,
                              name=f"conv{i + 1}_bn")(x)
             x = nn.relu(x)
 

@@ -30,7 +30,8 @@ from lanedetection_end2end_tpu.models.erfnet import (
 from lanedetection_end2end_tpu.models.heads import Classification
 from lanedetection_end2end_tpu.models.lanenet import LaneNet
 from lanedetection_end2end_tpu.ops.activations import activation_fn
-from lanedetection_end2end_tpu.ops.pallas_nb1d import nb1d_chain, pack_nb1d
+from lanedetection_end2end_tpu.ops.pallas_nb1d import (
+    nb1d_chain, pack_nb1d, wino_hint)
 
 # (name, dilation) of every NB1D block, per ERFNet.py:66-81 / :116-124
 _ENC_NB64 = [(f"nb64_{i}", 1) for i in range(5)]
@@ -76,10 +77,19 @@ class FusedLaneNetEngine:
         dec_p = v["params"]["erfnet"]["decoder"]
         dec_s = v["batch_stats"]["erfnet"]["decoder"]
         packed = {}
-        for name, d in _ENC_NB64 + _ENC_NB128:
-            packed["enc_" + name] = pack_nb1d(enc_p[name], enc_s[name], d)
-        for name, d in _DEC_NB64 + _DEC_NB16:
-            packed["dec_" + name] = pack_nb1d(dec_p[name], dec_s[name], d)
+        H = self.cfg.image_height
+        for name, d in _ENC_NB64:
+            packed["enc_" + name] = pack_nb1d(enc_p[name], enc_s[name], d,
+                                              h_hint=wino_hint(H // 4))
+        for name, d in _ENC_NB128:
+            packed["enc_" + name] = pack_nb1d(enc_p[name], enc_s[name], d,
+                                              h_hint=wino_hint(H // 8))
+        for name, d in _DEC_NB64:
+            packed["dec_" + name] = pack_nb1d(dec_p[name], dec_s[name], d,
+                                              h_hint=wino_hint(H // 4))
+        for name, d in _DEC_NB16:
+            packed["dec_" + name] = pack_nb1d(dec_p[name], dec_s[name], d,
+                                              h_hint=wino_hint(H // 2))
         # static ints must not cross jit boundaries as dict leaves
         for entry in packed.values():
             entry.pop("C", None)

@@ -193,13 +193,17 @@ class LaneNet:
                      train: bool = False, rng=None,
                      gt_line: Optional[jax.Array] = None,
                      absent_lane_guard: bool = False,
-                     mutable=False) -> LaneNetOutput:
+                     mutable=False, axis_name=None) -> LaneNetOutput:
         """Lane-packed twin of `apply` for the e2e phase — identical math
         (tests/test_packed_graph.py), but the backbone runs in the dense
         (B, H, W*C) layout and the WLS fit consumes packed row sums, so the
         (B, H, W, C) weight maps are never materialized in lane-padded NHWC.
         This is the training throughput path (the backward pass inherits the
-        same MXU-shaped matmuls)."""
+        same MXU-shaped matmuls).
+
+        `axis_name`: mesh axis for sync-BN when running inside shard_map
+        (train/steps.py wraps this path per shard because pallas_calls are
+        not GSPMD-partitionable); train-mode BN moments are pmean'd over it."""
         from lanedetection_end2end_tpu.ops.packed_graph import (
             erfnet_packed, rowsums_packed)
         cfg = self.cfg
@@ -215,7 +219,8 @@ class LaneNet:
             variables["batch_stats"]["erfnet"], images,
             out_channels=out_ch, train=train, rng=enc_rng,
             use_main_head=True, dtype=self.dtype,
-            pallas_convs=jax.default_backend() == "tpu")
+            pallas_convs=jax.default_backend() == "tpu",
+            axis_name=axis_name)
         S0, S1 = rowsums_packed(dec, self._act, self.fitter._sep_xs,
                                 C=out_ch, resize=cfg.resize,
                                 mask_percentage=cfg.mask_percentage)
@@ -229,7 +234,7 @@ class LaneNet:
             for key, kind in (("line_classification", "line"),
                               ("horizon_estimation", "horizon")):
                 mod = Classification(kind, resize=cfg.resize, variant=variant,
-                                     dtype=self.dtype)
+                                     dtype=self.dtype, axis_name=axis_name)
                 sub = {"params": variables["params"][key],
                        "batch_stats": variables["batch_stats"][key]}
                 if train:

@@ -174,8 +174,13 @@ def _chan_select(C: int) -> np.ndarray:
     return sel
 
 
-def _channel_moments(x, C: int, pallas: bool = False):
-    """Per-channel mean and mean-of-squares of a packed (B, H, L) tensor."""
+def _channel_moments(x, C: int, pallas: bool = False, axis_name=None):
+    """Per-channel mean and mean-of-squares of a packed (B, H, L) tensor.
+
+    `axis_name`: mesh axis to pmean the moments over when running inside
+    shard_map (sync-BN over the global batch — equal-size shards, so the
+    mean of per-shard means IS the global mean). Under plain jit GSPMD
+    inserts the cross-chip reduction itself and this stays None."""
     B, H, L = x.shape
     sel = jnp.asarray(_chan_select(C))
     n = B * H * (L // C)
@@ -184,14 +189,18 @@ def _channel_moments(x, C: int, pallas: bool = False):
             channel_sums
         sel_pad = jnp.zeros((128, 128), jnp.float32).at[:, :C].set(sel)
         sums = channel_sums(x, sel_pad, C)
-        return sums[0, :C] / n, sums[1, :C] / n
-    xf = x.astype(jnp.float32).reshape(B, H, L // 128, 128)
-    # HIGHEST: the selection must not bf16-round the activations — batch
-    # statistics feed the normalization (and flax reduces in f32)
-    s1 = jnp.einsum("bhgk,kc->c", xf, sel,
-                    precision=jax.lax.Precision.HIGHEST) / n
-    s2 = jnp.einsum("bhgk,kc->c", jnp.square(xf), sel,
-                    precision=jax.lax.Precision.HIGHEST) / n
+        s1, s2 = sums[0, :C] / n, sums[1, :C] / n
+    else:
+        xf = x.astype(jnp.float32).reshape(B, H, L // 128, 128)
+        # HIGHEST: the selection must not bf16-round the activations — batch
+        # statistics feed the normalization (and flax reduces in f32)
+        s1 = jnp.einsum("bhgk,kc->c", xf, sel,
+                        precision=jax.lax.Precision.HIGHEST) / n
+        s2 = jnp.einsum("bhgk,kc->c", jnp.square(xf), sel,
+                        precision=jax.lax.Precision.HIGHEST) / n
+    if axis_name is not None:
+        s1 = jax.lax.pmean(s1, axis_name)
+        s2 = jax.lax.pmean(s2, axis_name)
     return s1, s2
 
 
@@ -201,7 +210,7 @@ def _tile_lane(v, L: int, C: int):
 
 
 def batchnorm_packed(x, bn_params: Dict, bn_stats: Dict, C: int, train: bool,
-                     pallas: bool = False):
+                     pallas: bool = False, axis_name=None):
     """flax.linen.BatchNorm semantics on a packed (B, H, L) tensor.
 
     Returns (y, new_stats): batch statistics (biased variance) in train mode,
@@ -209,7 +218,8 @@ def batchnorm_packed(x, bn_params: Dict, bn_stats: Dict, C: int, train: bool,
     momentum 0.9 (torch momentum 0.1, models/erfnet.py:30-33)."""
     L = x.shape[-1]
     if train:
-        mean, mean2 = _channel_moments(x, C, pallas=pallas)
+        mean, mean2 = _channel_moments(x, C, pallas=pallas,
+                                       axis_name=axis_name)
         var = mean2 - jnp.square(mean)
         new_stats = {
             "mean": _BN_MOMENTUM * bn_stats["mean"]
@@ -322,7 +332,8 @@ def conv_w_packed(x, kern, bias, C: int, d: int, pallas: bool = False,
 
 
 def nb1d_packed(x, params: Dict, stats: Dict, *, C: int, d: int,
-                train: bool, drop: float, rng, pallas: bool = False):
+                train: bool, drop: float, rng, pallas: bool = False,
+                axis_name=None):
     """One NonBottleneck1D block on a packed plane. Returns (y, new_stats)."""
     p = params
     y = conv_h_packed(x, p["conv3x1_1"]["kernel"],
@@ -330,14 +341,14 @@ def nb1d_packed(x, params: Dict, stats: Dict, *, C: int, d: int,
     y = conv_w_packed(y, p["conv1x3_1"]["kernel"], p["conv1x3_1"]["bias"],
                       C, 1, pallas=pallas)
     y, bn1 = batchnorm_packed(y, p["bn1"], stats["bn1"], C, train,
-                              pallas=pallas)
+                              pallas=pallas, axis_name=axis_name)
     y = jax.nn.relu(y)
     y = conv_h_packed(y, p["conv3x1_2"]["kernel"],
                       p["conv3x1_2"]["bias"], C, d, pallas=pallas, act=True)
     y = conv_w_packed(y, p["conv1x3_2"]["kernel"], p["conv1x3_2"]["bias"],
                       C, d, pallas=pallas)
     y, bn2 = batchnorm_packed(y, p["bn2"], stats["bn2"], C, train,
-                              pallas=pallas)
+                              pallas=pallas, axis_name=axis_name)
     y = dropout2d_packed(y, drop, rng, C, train)
     return jax.nn.relu(y + x), {"bn1": bn1, "bn2": bn2}
 
@@ -372,7 +383,7 @@ def _downsampler_idx(cin: int, cin0: int, cc: int, cout: int):
 
 
 def downsampler_packed(x, params: Dict, stats: Dict, *, cin: int, cout: int,
-                       train: bool, pallas: bool = False):
+                       train: bool, pallas: bool = False, axis_name=None):
     """x (B, H, W*cin) -> (B, H/2, (W/2)*cout); cin may be padded (RGB 3->4:
     callers pad activations, the kernel's input-channel axis stays cin0)."""
     B, H, L = x.shape
@@ -417,7 +428,7 @@ def downsampler_packed(x, params: Dict, stats: Dict, *, cin: int, cout: int,
     acc = acc + _tile_lane(bias, acc.shape[-1], cout).astype(acc.dtype)
     acc = acc.astype(x.dtype)
     y, bn = batchnorm_packed(acc, params["bn"], stats["bn"], cout, train,
-                             pallas=pallas)
+                             pallas=pallas, axis_name=axis_name)
     return jax.nn.relu(y), {"bn": bn}
 
 
@@ -460,7 +471,7 @@ def _upsampler_idx(cin: int, cout: int):
 
 
 def upsampler_packed(x, params: Dict, stats: Dict, *, cin: int, cout: int,
-                     train: bool, pallas: bool = False):
+                     train: bool, pallas: bool = False, axis_name=None):
     """x (B, H, W*cin) -> (B, 2H, 2W*cout)."""
     B, H, L = x.shape
     coo, r_in, out_lanes = _upsampler_idx(cin, cout)
@@ -486,7 +497,7 @@ def upsampler_packed(x, params: Dict, stats: Dict, *, cin: int, cout: int,
         phases.append(acc.astype(x.dtype))
     y = jnp.stack(phases, axis=2).reshape(B, 2 * H, phases[0].shape[-1])
     y, bn = batchnorm_packed(y, params["bn"], stats["bn"], cout, train,
-                             pallas=pallas)
+                             pallas=pallas, axis_name=axis_name)
     return jax.nn.relu(y), {"bn": bn}
 
 
@@ -540,7 +551,8 @@ def head_packed(x, params: Dict, *, cin: int, cout: int):
 def erfnet_packed(params: Dict, stats: Dict, images, *, out_channels: int,
                   train: bool, rng=None, use_main_head: bool = True,
                   dropout_1: float = 0.03, dropout_2: float = 0.3,
-                  dtype=jnp.bfloat16, pallas_convs: bool = False):
+                  dtype=jnp.bfloat16, pallas_convs: bool = False,
+                  axis_name=None):
     """Packed twin of ERFNet.__call__ (models/erfnet.py:178-194).
 
     Args:
@@ -567,38 +579,42 @@ def erfnet_packed(params: Dict, stats: Dict, images, *, out_channels: int,
 
     x, new_enc["initial_block"] = downsampler_packed(
         x, ep["initial_block"], es["initial_block"], cin=4, cout=16,
-        train=train, pallas=pallas_convs)
+        train=train, pallas=pallas_convs, axis_name=axis_name)
     x, new_enc["down1"] = downsampler_packed(
         x, ep["down1"], es["down1"], cin=16, cout=64, train=train,
-        pallas=pallas_convs)
+        pallas=pallas_convs, axis_name=axis_name)
     for name, d in ENC_NB64:
         x, new_enc[name] = nb1d_packed(
             x, ep[name], es[name], C=64, d=d, train=train, drop=dropout_1,
-            rng=take_rng(), pallas=pallas_convs)
+            rng=take_rng(), pallas=pallas_convs, axis_name=axis_name)
     x, new_enc["down2"] = downsampler_packed(
         x, ep["down2"], es["down2"], cin=64, cout=128, train=train,
-        pallas=pallas_convs)
+        pallas=pallas_convs, axis_name=axis_name)
     for name, d in ENC_NB128:
         x, new_enc[name] = nb1d_packed(
             x, ep[name], es[name], C=128, d=d, train=train, drop=dropout_2,
-            rng=take_rng(), pallas=pallas_convs)
+            rng=take_rng(), pallas=pallas_convs, axis_name=axis_name)
     enc = x.reshape(B, H // 8, W // 8, 128)  # C=128: packed == NHWC
 
     dp, ds = params["decoder"], stats["decoder"]
     y, new_dec["up1"] = upsampler_packed(x, dp["up1"], ds["up1"], cin=128,
                                          cout=64, train=train,
-                                         pallas=pallas_convs)
+                                         pallas=pallas_convs,
+                                         axis_name=axis_name)
     for name, d in DEC_NB64:
         y, new_dec[name] = nb1d_packed(y, dp[name], ds[name], C=64, d=d,
                                        train=train, drop=0.0, rng=None,
-                                       pallas=pallas_convs)
+                                       pallas=pallas_convs,
+                                       axis_name=axis_name)
     y, new_dec["up2"] = upsampler_packed(y, dp["up2"], ds["up2"], cin=64,
                                          cout=16, train=train,
-                                         pallas=pallas_convs)
+                                         pallas=pallas_convs,
+                                         axis_name=axis_name)
     for name, d in DEC_NB16:
         y, new_dec[name] = nb1d_packed(y, dp[name], ds[name], C=16, d=d,
                                        train=train, drop=0.0, rng=None,
-                                       pallas=pallas_convs)
+                                       pallas=pallas_convs,
+                                       axis_name=axis_name)
     head_name = "output_conv" if use_main_head else "output_conv2"
     dec = head_packed(y, dp[head_name], cin=16, cout=out_channels)
 

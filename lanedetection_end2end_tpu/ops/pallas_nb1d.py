@@ -29,6 +29,7 @@ light for this op. Used by the fused inference engine
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict
 
 import numpy as np
@@ -36,6 +37,14 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def wino_hint(h: int) -> int | None:
+    """Plane-height hint enabling the Winograd-H conv form, gated by env
+    NB1D_WINO=1. Default OFF: on v5e the (H,L)->(H/2d, 2dL) regrouping is a
+    Mosaic relayout and 4 half-height matmuls pay more pipeline latency than
+    3 full ones — measured 8.9 -> 13.5 ms/batch32 end-to-end (round 3)."""
+    return h if os.environ.get("NB1D_WINO") == "1" else None
 
 
 def roll_lanes(t: jax.Array, shift: int, interpret: bool) -> jax.Array:
@@ -76,13 +85,60 @@ def _block_diag(k: np.ndarray) -> np.ndarray:
     return out
 
 
-def pack_nb1d(params: Dict, stats: Dict, dilation: int, eps: float = 1e-3):
+def _wino_taps(g0: np.ndarray, g1: np.ndarray, g2: np.ndarray) -> np.ndarray:
+    """F(2,3) transformed kernels: G @ [g0;g1;g2] for the 1D Winograd
+    decomposition (2 outputs from 4 multiplies instead of 6). Each g is a
+    (C, C) channel mixer; output (4, 128, 128) block-diagonal."""
+    t = [g0, (g0 + g1 + g2) * 0.5, (g0 - g1 + g2) * 0.5, g2]
+    return np.stack([_block_diag(m) for m in t])
+
+
+def _tri_taps(g0: np.ndarray, g1: np.ndarray, g2: np.ndarray, d: int
+              ) -> np.ndarray:
+    """W-conv (dilation d, C = g.shape[0] <= 64) as TWO 128-lane matmuls.
+
+    A 128-lane block holds G = 128/C w-positions. The in-block taps form a
+    banded (bandwidth d) block matrix M_main; the 2d words that cross block
+    boundaries arrive via one combined edge plane (left-neighbor words in
+    the first d word slots, right-neighbor in the last d) mixed by M_edge.
+    Replaces the 3 block-diagonal matmuls of the legacy path — a pure 33%
+    MXU saving, VPU-neutral. Requires 2*d*C <= 128.
+    """
+    C = g0.shape[0]
+    G = 128 // C
+    assert 2 * d * C <= 128, (C, d)
+    taps = {-d: g0, 0: g1, +d: g2}
+    main = np.zeros((128, 128), np.float32)
+    for w_out in range(G):
+        for dw, g in taps.items():
+            w_in = w_out + dw
+            if 0 <= w_in < G:
+                main[w_in * C:(w_in + 1) * C,
+                     w_out * C:(w_out + 1) * C] = g
+    edge = np.zeros((128, 128), np.float32)
+    for w in range(d):  # left-neighbor words: tap -d for out words [0, d)
+        edge[w * C:(w + 1) * C, w * C:(w + 1) * C] = g0
+    for w in range(G - d, G):  # right-neighbor: tap +d for words [G-d, G)
+        edge[w * C:(w + 1) * C, w * C:(w + 1) * C] = g2
+    return np.stack([main, edge])
+
+
+def pack_nb1d(params: Dict, stats: Dict, dilation: int, eps: float = 1e-3,
+              h_hint: int | None = None):
     """Precompute the kernel's constants from a flax NonBottleneck1D
     param/batch_stats subtree (models/erfnet.py NonBottleneck1D names).
 
     Conv kernels are flax (kh, kw, cin, cout); 3x1 kernels index kh (taps
     over H), 1x3 kernels index kw (taps over W). Biases and BatchNorms fold
     into per-channel (mul, add) pairs applied after each directional pair.
+
+    Emitted conv forms (the kernel body dispatches on leading dim):
+      Kh*: (4,128,128) Winograd F(2,3) when `h_hint` (the plane height) is
+           given and divisible by 2*dilation — 4 half-height matmuls per
+           conv instead of 3 full ones; else (3,128,128) direct taps.
+      Kw*: (2,128,128) banded main+edge form when 2*dilation*C <= 128;
+           else (3,128,128) direct taps (C=128 uses the W-Winograd path
+           at apply time, sharing the direct taps).
     """
     k31_1 = np.asarray(params["conv3x1_1"]["kernel"], np.float32)  # (3,1,C,C)
     k13_1 = np.asarray(params["conv1x3_1"]["kernel"], np.float32)  # (1,3,C,C)
@@ -91,10 +147,14 @@ def pack_nb1d(params: Dict, stats: Dict, dilation: int, eps: float = 1e-3):
     C = k31_1.shape[2]
     G = 128 // C
 
-    def taps_h(k):  # (3,1,C,C) -> (3,128,128)
+    def taps_h(k, d):  # (3,1,C,C) -> (4,128,128) wino or (3,128,128) direct
+        if h_hint is not None and h_hint % (2 * d) == 0:
+            return _wino_taps(k[0, 0], k[1, 0], k[2, 0])
         return np.stack([_block_diag(k[t, 0]) for t in range(3)])
 
-    def taps_w(k):  # (1,3,C,C) -> (3,128,128)
+    def taps_w(k, d):  # (1,3,C,C) -> (2,128,128) tri or (3,128,128) direct
+        if 2 * d * C <= 128:
+            return _tri_taps(k[0, 0], k[0, 1], k[0, 2], d)
         return np.stack([_block_diag(k[0, t]) for t in range(3)])
 
     mul1, add1 = fold_bn(params["bn1"], stats["bn1"], eps)
@@ -106,10 +166,10 @@ def pack_nb1d(params: Dict, stats: Dict, dilation: int, eps: float = 1e-3):
 
     tile = lambda v: jnp.asarray(np.tile(v, G)[None, :], jnp.float32)  # (1,128)
     return {
-        "Kh1": jnp.asarray(taps_h(k31_1), jnp.bfloat16),
-        "Kw1": jnp.asarray(taps_w(k13_1), jnp.bfloat16),
-        "Kh2": jnp.asarray(taps_h(k31_2), jnp.bfloat16),
-        "Kw2": jnp.asarray(taps_w(k13_2), jnp.bfloat16),
+        "Kh1": jnp.asarray(taps_h(k31_1, 1), jnp.bfloat16),
+        "Kw1": jnp.asarray(taps_w(k13_1, 1), jnp.bfloat16),
+        "Kh2": jnp.asarray(taps_h(k31_2, dilation), jnp.bfloat16),
+        "Kw2": jnp.asarray(taps_w(k13_2, dilation), jnp.bfloat16),
         "b1": tile(b1),
         # bn1(conv + b2) = conv*mul1 + (b2*mul1 + add1)
         "m1": tile(mul1), "a1": tile(b2 * mul1 + add1),
@@ -133,27 +193,52 @@ def _nb1d_body(x, consts, *, H, L, C, d, interpret):
     pre-relu residual output. Shared by the single and chain kernels."""
     Kh1, Kw1, Kh2, Kw2, b1, m1, a1, b3, m2, a2 = consts
 
-    def conv_h(t, K, dil):
+    dot = lambda a, K: jnp.dot(a.reshape(-1, 128), K,
+                               preferred_element_type=jnp.float32)
+
+    def conv_h_direct(t, K, dil):
         if dil >= H:
             up = dn = jnp.zeros((H, L), t.dtype)
         else:
             zeros = jnp.zeros((dil, L), t.dtype)
             up = jnp.concatenate([zeros, t[:-dil]], axis=0)
             dn = jnp.concatenate([t[dil:], zeros], axis=0)
-        out = jnp.dot(up.reshape(-1, 128), K[0],
-                      preferred_element_type=jnp.float32)
-        out += jnp.dot(t.reshape(-1, 128), K[1],
-                       preferred_element_type=jnp.float32)
-        out += jnp.dot(dn.reshape(-1, 128), K[2],
-                       preferred_element_type=jnp.float32)
-        return out
+        return dot(up, K[0]) + dot(t, K[1]) + dot(dn, K[2])
 
-    def conv_w(t, K, dil):
+    def conv_h_wino(t, K, dil):
+        # F(2,3) over rows: pair output rows (r, r+dil). The even/odd row
+        # classes are FREE lane views — (H, L) -> (H/2d, 2dL) groups 2d
+        # consecutive rows per super-row, E = first d (rows r with
+        # (r mod 2d) < d), O = last d. 4 matmuls on half-height planes
+        # replace 3 full ones (33% MXU saving); transforms are plane adds.
+        assert H % (2 * dil) == 0, (H, dil)
+        q = H // (2 * dil)
+        v = t.reshape(q, 2 * dil * L)
+        E, O = v[:, :dil * L], v[:, dil * L:]
+        if q == 1:  # single super-row: both shifted classes are all-pad
+            O_prev = jnp.zeros_like(O)
+            E_next = jnp.zeros_like(E)
+        else:
+            zrow = jnp.zeros((1, dil * L), t.dtype)
+            O_prev = jnp.concatenate([zrow, O[:-1]], axis=0)
+            E_next = jnp.concatenate([E[1:], zrow], axis=0)
+        m0 = dot(O_prev - O, K[0])
+        m1 = dot(E + O, K[1])
+        m2 = dot(O - E, K[2])
+        m3 = dot(E - E_next, K[3])
+        ye = (m0 + m1 + m2).reshape(q, dil * L)
+        yo = (m1 - m2 - m3).reshape(q, dil * L)
+        return jnp.concatenate([ye, yo], axis=1)
+
+    def conv_h(t, K, dil):
+        out = (conv_h_wino if K.shape[0] == 4 else conv_h_direct)(t, K, dil)
+        return out.reshape(-1, 128)
+
+    def conv_w_direct(t, K, dil):
         s = dil * C
         if s >= L:
             # both shifted taps fall entirely off the plane
-            return jnp.dot(t.reshape(-1, 128), K[1],
-                           preferred_element_type=jnp.float32)
+            return dot(t, K[1])
         # rolls and edge masks stay in the input dtype (bf16): half the VPU
         # traffic of rolling f32 copies, and no cast round-trips
         left = roll_lanes(t, s, interpret)
@@ -162,13 +247,26 @@ def _nb1d_body(x, consts, *, H, L, C, d, interpret):
         zero = jnp.zeros((), t.dtype)
         left = jnp.where(lane < s, zero, left)
         right = jnp.where(lane >= L - s, zero, right)
-        out = jnp.dot(left.reshape(-1, 128), K[0],
-                      preferred_element_type=jnp.float32)
-        out += jnp.dot(t.reshape(-1, 128), K[1],
-                       preferred_element_type=jnp.float32)
-        out += jnp.dot(right.reshape(-1, 128), K[2],
-                       preferred_element_type=jnp.float32)
-        return out
+        return dot(left, K[0]) + dot(t, K[1]) + dot(right, K[2])
+
+    def conv_w_tri(t, K, dil):
+        # banded main matmul (in-block taps) + one edge matmul fed by a
+        # combined neighbor plane: first dil*C lanes of each block from the
+        # left neighbor, last dil*C from the right (see _tri_taps).
+        s = dil * C
+        if s >= L:
+            return dot(t, K[0])  # main holds the 0-tap band
+        er = roll_lanes(t, s, interpret)
+        el = roll_lanes(t, L - s, interpret)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (H, L), 1)
+        word = jax.lax.bitwise_and(lane, 127)
+        zero = jnp.zeros((), t.dtype)
+        edge = jnp.where(word < s, er, jnp.where(word >= 128 - s, el, zero))
+        edge = jnp.where(jnp.logical_or(lane < s, lane >= L - s), zero, edge)
+        return dot(t, K[0]) + dot(edge, K[1])
+
+    def conv_w(t, K, dil):
+        return (conv_w_tri if K.shape[0] == 2 else conv_w_direct)(t, K, dil)
 
     to_plane = lambda v: v.reshape(H, L)
     y = conv_h(x, Kh1, 1)
@@ -262,22 +360,17 @@ def nb1d_fused(x: jax.Array, packed: Dict, *, dilation: int | None = None,
                                       memory_space=pltpu.VMEM)
     kern = functools.partial(_nb1d_kernel, H=H, L=L, C=C, d=d,
                              interpret=interpret)
+    args = [packed[k] for k in _CONST_KEYS]
     out = pl.pallas_call(
         kern,
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, H, L), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            full((3, 128, 128)), full((3, 128, 128)),
-            full((3, 128, 128)), full((3, 128, 128)),
-            full((1, 128)), full((1, 128)), full((1, 128)),
-            full((1, 128)), full((1, 128)), full((1, 128)),
-        ],
+        ] + [full(a.shape) for a in args],
         out_specs=pl.BlockSpec((1, H, L), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, L), x.dtype),
         interpret=interpret,
-    )(xf, packed["Kh1"], packed["Kw1"], packed["Kh2"], packed["Kw2"],
-      packed["b1"], packed["m1"], packed["a1"], packed["b3"],
-      packed["m2"], packed["a2"])
+    )(xf, *args)
     return out.reshape(B, H, W, C)

@@ -114,13 +114,13 @@ class Trainer:
     def train_step_for(self, phase: str):
         if phase not in self._train_steps:
             self._train_steps[phase] = make_train_step(
-                self.lanenet, self.cfg, self.tx, phase)
+                self.lanenet, self.cfg, self.tx, phase, mesh=self.mesh)
         return self._train_steps[phase]
 
     def eval_step_for(self, phase: str):
         if phase not in self._eval_steps:
             self._eval_steps[phase] = make_eval_step(
-                self.lanenet, self.cfg, phase)
+                self.lanenet, self.cfg, phase, mesh=self.mesh)
         return self._eval_steps[phase]
 
     def _prefetch(self, loader) -> Iterable:

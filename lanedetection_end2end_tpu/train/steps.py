@@ -64,17 +64,17 @@ def _lane_present_mask(gt_params: jax.Array) -> jax.Array:
     return jnp.all(gt_params != 0, axis=-1).astype(jnp.float32)
 
 
-def _resolve_packed(lanenet, cfg: LaneConfig, phase: str) -> bool:
+def _resolve_packed(lanenet, cfg: LaneConfig, phase: str,
+                    sharded: bool = False) -> bool:
     """Whether this graph should use the lane-packed backbone
     (ops/packed_graph.py): explicit cfg.packed_train wins; None = auto.
 
-    Auto = on for SINGLE-DEVICE TPU runs: with the Pallas packed-conv
-    kernels (ops/pallas_packed_conv.py) the packed step measures 518 img/s
-    at 256x512 bs32 vs 386 for the flax NHWC graph on v5e. On a mesh the
-    flax graph is used instead — the packed path's pallas_calls are not
-    GSPMD-partitionable (they would need a shard_map wrapper with explicit
-    psum of BN statistics and gradients; see models/infer_engine.py's
-    sharded serving for the pattern)."""
+    Auto = on for TPU runs: with the Pallas packed-conv kernels
+    (ops/pallas_packed_conv.py) the packed step measures 518+ img/s at
+    256x512 bs32 vs 386 for the flax NHWC graph on v5e. `sharded=True`
+    means the caller wraps the step in shard_map (pallas_calls are not
+    GSPMD-partitionable, so a bare multi-device jit must NOT go packed —
+    make_train_step/make_eval_step pass the mesh and build the wrapper)."""
     if cfg.packed_train is not None:
         if cfg.packed_train and not lanenet.packed_supported(phase):
             import warnings
@@ -85,17 +85,24 @@ def _resolve_packed(lanenet, cfg: LaneConfig, phase: str) -> bool:
                 "resize alignment (LaneNet.packed_supported).",
                 RuntimeWarning, stacklevel=2)
         return bool(cfg.packed_train) and lanenet.packed_supported(phase)
-    return (jax.default_backend() == "tpu" and jax.device_count() == 1
+    return (jax.default_backend() == "tpu"
+            and (jax.device_count() == 1 or sharded)
             and lanenet.packed_supported(phase))
 
 
-def make_loss_fn(lanenet, cfg: LaneConfig, phase: str,
-                 train: bool) -> Callable:
+def make_loss_fn(lanenet, cfg: LaneConfig, phase: str, train: bool,
+                 use_packed: bool | None = None,
+                 axis_name: str | None = None) -> Callable:
     """Returns loss_fn(params, batch_stats, batch, rng) ->
-    (loss, (metrics, outputs, new_batch_stats))."""
+    (loss, (metrics, outputs, new_batch_stats)).
+
+    `axis_name` (packed path only): mesh axis for sync-BN inside shard_map."""
     profile = cfg.profile
     seg_weights = _seg_class_weights(cfg)
-    use_packed = _resolve_packed(lanenet, cfg, phase)
+    if use_packed is None:
+        use_packed = _resolve_packed(lanenet, cfg, phase)
+    assert axis_name is None or use_packed, \
+        "axis_name is only meaningful for the shard_map'd packed path"
     if profile == "bp":
         bp_criterion = BackprojectionLoss(cfg.resize, cfg.order,
                                           cfg.no_mapping)
@@ -156,9 +163,10 @@ def make_loss_fn(lanenet, cfg: LaneConfig, phase: str,
         variables = {"params": params, "batch_stats": batch_stats}
         mutable = ["batch_stats"] if train else False
         apply = lanenet.apply_packed if use_packed else lanenet.apply
+        extra = {"axis_name": axis_name} if axis_name is not None else {}
         res = apply(variables, batch["image"], phase=phase,
                     train=train, rng=rng,
-                    gt_line=batch.get("line"), mutable=mutable)
+                    gt_line=batch.get("line"), mutable=mutable, **extra)
         out, new_vars = res if train else (res, None)
         new_bs = new_vars["batch_stats"] if train else batch_stats
         metrics: Dict[str, jax.Array] = {}
@@ -234,31 +242,82 @@ def make_loss_fn(lanenet, cfg: LaneConfig, phase: str,
     return loss_fn
 
 
+def _mesh_is_sharded(mesh) -> bool:
+    return mesh is not None and mesh.devices.size > 1
+
+
+def _shard_map(fn, mesh, in_specs, out_specs):
+    import inspect
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+    kw = ("check_vma" if "check_vma" in inspect.signature(shard_map).parameters
+          else "check_rep")
+    return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                     **{kw: False})
+
+
 def make_train_step(lanenet, cfg: LaneConfig, tx, phase: str,
-                    donate: bool = True):
-    """jitted (state, batch, rng) -> (state, metrics)."""
-    loss_fn = make_loss_fn(lanenet, cfg, phase, train=True)
+                    donate: bool = True, mesh=None):
+    """jitted (state, batch, rng) -> (state, metrics).
+
+    `mesh`: the DP mesh the caller shards batches over (parallel/mesh.py).
+    When the packed backbone is active on a real mesh, the whole step runs
+    per-shard inside shard_map — pallas_calls are not GSPMD-partitionable —
+    with explicit collectives supplying what GSPMD otherwise infers:
+    train-mode BN moments pmean'd over the axis (sync-BN) and gradients +
+    metrics pmean'd before the (replicated) optimizer update. The flax
+    graph keeps the plain jit: GSPMD partitions it from the input shardings.
+    """
+    sharded = _mesh_is_sharded(mesh)
+    use_packed = _resolve_packed(lanenet, cfg, phase, sharded=sharded)
+    axis = "data" if (sharded and use_packed) else None
+    loss_fn = make_loss_fn(lanenet, cfg, phase, train=True,
+                           use_packed=use_packed, axis_name=axis)
 
     def step(state: TrainState, batch, rng):
+        if axis is not None and rng is not None:
+            # decorrelate dropout draws across shards (GSPMD equivalent:
+            # one global mask array split over the batch axis)
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (metrics, _, new_bs)), grads = grad_fn(
             state.params, state.batch_stats, batch, rng)
+        if axis is not None:
+            grads = jax.lax.pmean(grads, axis)
+            metrics = jax.lax.pmean(metrics, axis)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = jax.tree_util.tree_map(
             lambda p, u: p + u, state.params, updates)
         return (TrainState(new_params, new_bs, new_opt), metrics)
 
+    if axis is not None:
+        from jax.sharding import PartitionSpec as P
+        step = _shard_map(step, mesh, in_specs=(P(), P("data"), P()),
+                          out_specs=(P(), P()))
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(lanenet, cfg: LaneConfig, phase: str):
+def make_eval_step(lanenet, cfg: LaneConfig, phase: str, mesh=None):
     """jitted (state, batch) -> (metrics, outputs) — no gradients, running
-    BN statistics (model.eval() semantics, main.py:373-376)."""
-    loss_fn = make_loss_fn(lanenet, cfg, phase, train=False)
+    BN statistics (model.eval() semantics, main.py:373-376). Same shard_map
+    wrapping rule as make_train_step (metrics pmean'd, outputs sharded)."""
+    sharded = _mesh_is_sharded(mesh)
+    use_packed = _resolve_packed(lanenet, cfg, phase, sharded=sharded)
+    axis = "data" if (sharded and use_packed) else None
+    loss_fn = make_loss_fn(lanenet, cfg, phase, train=False,
+                           use_packed=use_packed)
 
     def step(state: TrainState, batch):
         _, (metrics, outputs, _) = loss_fn(state.params, state.batch_stats,
                                            batch, None)
+        if axis is not None:
+            metrics = jax.lax.pmean(metrics, axis)
         return metrics, outputs
 
+    if axis is not None:
+        from jax.sharding import PartitionSpec as P
+        step = _shard_map(step, mesh, in_specs=(P(), P("data")),
+                          out_specs=(P(), P("data")))
     return jax.jit(step)

@@ -245,3 +245,67 @@ def test_rowsums_parity(setup):
     beta_ref = fitter(masked, layout="nhwc")
     np.testing.assert_allclose(np.asarray(beta_packed), np.asarray(beta_ref),
                                atol=1e-4, rtol=1e-3)
+
+
+def test_packed_train_step_sharded_matches_single_device():
+    """The shard_map'd packed train step (mesh DP, explicit pmean of BN
+    moments + grads, train/steps.py) computes the SAME step as the packed
+    graph on one device with the full batch — validating that the manual
+    collectives reproduce global-batch semantics (sync-BN + summed grads).
+    Chain to flax/torch: test_packed_train_step_matches_flax +
+    tests/test_reference_parity.py."""
+    from lanedetection_end2end_tpu.config import train_sh_config
+    from lanedetection_end2end_tpu.data import SyntheticLanes
+    from lanedetection_end2end_tpu.models import LaneNet
+    from lanedetection_end2end_tpu.parallel import (
+        make_mesh, replicate, shard_batch)
+    from lanedetection_end2end_tpu.train import define_optim, make_train_step
+    from lanedetection_end2end_tpu.train.state import init_train_state
+
+    cfg = train_sh_config(resize=32, batch_size=8, reg_ls=1.0,
+                          packed_train=True)
+    lanenet = LaneNet(cfg)
+    assert lanenet.packed_supported("e2e")
+    variables = lanenet.init(jax.random.PRNGKey(0))
+    batch = SyntheticLanes(8, 32, 4, "bp").batch()
+    # SGD: the first-step update is exactly -lr * grad, so the update
+    # comparison below compares GRADIENTS. (Adam's first step is
+    # ~lr * sign(grad), which amplifies noise on near-zero entries.)
+    tx = define_optim("sgd", cfg.learning_rate)
+
+    # single device, full batch (rng=None: dropout off, deterministic)
+    state_1 = init_train_state(variables, tx)
+    step_1 = make_train_step(lanenet, cfg, tx, "e2e", donate=False)
+    state_1, metrics_1 = step_1(state_1, batch, None)
+
+    # 8-way DP mesh: batch sharded, state replicated, shard_map'd step
+    mesh = make_mesh(8)
+    state_8 = replicate(init_train_state(variables, tx), mesh)
+    step_8 = make_train_step(lanenet, cfg, tx, "e2e", donate=False,
+                             mesh=mesh)
+    state_8, metrics_8 = step_8(state_8, shard_batch(batch, mesh), None)
+
+    np.testing.assert_allclose(float(metrics_8["loss"]),
+                               float(metrics_1["loss"]), rtol=5e-3)
+
+    # parameter UPDATES agree (direction + magnitude); elementwise equality
+    # is unattainable for two summation orders through train-mode BN (see
+    # test_grad_parity's rationale)
+    p0 = jax.tree_util.tree_leaves(variables["params"])
+    d1 = [np.asarray(a) - np.asarray(b) for a, b in zip(
+        jax.tree_util.tree_leaves(state_1.params), p0)]
+    d8 = [np.asarray(a) - np.asarray(b) for a, b in zip(
+        jax.tree_util.tree_leaves(state_8.params), p0)]
+    dots = sum(float((a * b).sum()) for a, b in zip(d1, d8))
+    n1 = np.sqrt(sum(float((a * a).sum()) for a in d1))
+    n8 = np.sqrt(sum(float((a * a).sum()) for a in d8))
+    assert dots / (n1 * n8) > 0.99, dots / (n1 * n8)
+    assert 0.95 < n1 / n8 < 1.05, n1 / n8
+
+    # BN running stats: sync-BN moments equal the global-batch moments
+    s1 = state_1.batch_stats["erfnet"]["encoder"]["nb64_0"]["bn1"]
+    s8 = state_8.batch_stats["erfnet"]["encoder"]["nb64_0"]["bn1"]
+    np.testing.assert_allclose(np.asarray(s8["mean"]), np.asarray(s1["mean"]),
+                               atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(s8["var"]), np.asarray(s1["var"]),
+                               atol=1e-4, rtol=1e-3)

@@ -137,6 +137,28 @@ def test_nb1d_fused_matches_flax():
         assert np.abs(got - want).max() / scale < 2e-2, (C, d)
 
 
+def test_nb1d_fused_wino_tri_matches_flax():
+    """Winograd-H (Kh (4,128,128)) + banded-W (Kw (2,128,128)) forms vs the
+    flax NB1D block: same math at bf16 tolerance. h_hint triggers the
+    Winograd form; 2*d*C<=128 triggers the banded W form."""
+    from lanedetection_end2end_tpu.models.erfnet import NonBottleneck1D
+    from lanedetection_end2end_tpu.ops.pallas_nb1d import (
+        pack_nb1d, nb1d_fused)
+    for C, d, H, W in [(16, 1, 16, 32), (64, 1, 8, 16), (64, 2, 8, 16),
+                       (128, 4, 8, 8), (128, 16, 32, 8)]:
+        mod = NonBottleneck1D(C, 0.0, d)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, H, W, C))
+        v = mod.init({"params": jax.random.PRNGKey(1)}, x, train=False)
+        want = np.asarray(mod.apply(v, x, train=False))
+        packed = pack_nb1d(jax.device_get(v["params"]),
+                           jax.device_get(v["batch_stats"]), d, h_hint=H)
+        assert packed["Kh2"].shape[0] == (4 if H % (2 * d) == 0 else 3)
+        assert packed["Kw1"].shape[0] == (2 if 2 * C <= 128 else 3)
+        got = np.asarray(nb1d_fused(x, packed, interpret=True))
+        scale = max(1e-6, np.abs(want).max())
+        assert np.abs(got - want).max() / scale < 2e-2, (C, d)
+
+
 def test_nb1d_chain_matches_sequential():
     from lanedetection_end2end_tpu.models.erfnet import NonBottleneck1D
     from lanedetection_end2end_tpu.ops.pallas_nb1d import (
