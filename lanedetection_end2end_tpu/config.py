@@ -127,6 +127,12 @@ class LaneConfig:
     # XLA, see train/steps.py::_resolve_packed), True = force on. Identical
     # math to the flax graph (tests/test_packed_graph.py).
     packed_train: Optional[bool] = None
+    # learned-homography option (the README's "finetuned homography"
+    # configuration, README.md:93): a HomographyHead (models/dlt.py)
+    # predicts per-sample trapezoid offsets and a differentiable DLT solve
+    # (geometry/dlt.py) re-derives the BEV matrices end to end. 'bp'
+    # profile only (pixel homography).
+    learn_homography: bool = False
 
     # ------------------------------------------------------------------
     def __post_init__(self):
@@ -144,6 +150,10 @@ class LaneConfig:
             raise ValueError("polynomial order must be in 0..3")
         if self.profile == "bev" and self.order == 3:
             raise ValueError("order 3 is only supported by the 'bp' profile")
+        if self.learn_homography and (self.profile != "bp"
+                                      or self.no_mapping):
+            raise ValueError("learn_homography requires the 'bp' profile "
+                             "with a real (non-identity) homography")
 
     # ------------------------------------------------------------------
     @property
@@ -243,7 +253,7 @@ def train_sh_config(**kw) -> LaneConfig:
 _BOOL_STR_FLAGS = {  # flags that use the str2bool convention in the reference
     "pool", "draw_testset", "pretrained", "flip_on", "use_cholesky",
     "end_to_end", "no_mapping", "clas", "cudnn", "no_tb", "use_pallas_wls",
-    "packed_train",
+    "packed_train", "learn_homography",
 }
 _STORE_TRUE_FLAGS = {
     "no_cuda", "no_dropout", "test_mode", "evaluate", "lr_decay", "no_ortho",

@@ -51,3 +51,29 @@ class Projections:
         denom = Mi[2, 0] * x_prime + Mi[2, 1] * yp + Mi[2, 2]
         x_cal = (Mi[0, 0] * x_prime + Mi[0, 1] * yp + Mi[0, 2]) / denom
         return x_cal * self.factor
+
+    def compute_coordinates_with_M(self, beta: jax.Array, M_b: jax.Array,
+                                   M_inv_b: jax.Array) -> jax.Array:
+        """Per-sample-homography variant (learned-homography option,
+        geometry/dlt.py): beta (B, C, order+1), M_b/M_inv_b (B, 3, 3) ->
+        (B, C, 56) original-image x."""
+        M_b = M_b.astype(jnp.float32)
+        Mi = M_inv_b.astype(jnp.float32)
+        y_d = ((jnp.arange(160.0, 720.0, 10.0, dtype=jnp.float32) - 80.0)
+               / self.factor)[None, :]                             # (1, 56)
+        y_prime = ((M_b[:, 1, 1:2] * y_d + M_b[:, 1, 2:3])
+                   / (M_b[:, 2, 1:2] * y_d + M_b[:, 2, 2:3]))      # (B, 56)
+        resize = 640.0 / self.factor
+        y_eval = (resize - 1.0) - y_prime
+        order = self.Y.shape[1] - 1
+        Yb = jnp.stack([y_eval ** p for p in range(order, 0, -1)]
+                       + [jnp.ones_like(y_eval)], axis=-1)     # (B, 56, o+1)
+        x_prime = jnp.einsum("bck,bhk->bch", beta.astype(jnp.float32), Yb,
+                             precision=jax.lax.Precision.HIGHEST)
+        yp = y_prime[:, None, :]                               # (B, 1, 56)
+        denom = (Mi[:, 2, 0, None, None] * x_prime
+                 + Mi[:, 2, 1, None, None] * yp + Mi[:, 2, 2, None, None])
+        x_cal = (Mi[:, 0, 0, None, None] * x_prime
+                 + Mi[:, 0, 1, None, None] * yp
+                 + Mi[:, 0, 2, None, None]) / denom
+        return x_cal * self.factor

@@ -36,6 +36,7 @@ def make_infer_fn(lanenet, cfg: LaneConfig, projections: Projections,
     def infer(variables, images):
         if images.dtype == jnp.uint8:  # compact-transfer batches
             images = images.astype(jnp.float32) * (1.0 / 255.0)
+        M_b = M_inv_b = None
         if engine is not None:
             beta, line_logits, horizon_logits = engine(packed, variables,
                                                        images)
@@ -43,7 +44,12 @@ def make_infer_fn(lanenet, cfg: LaneConfig, projections: Projections,
             out = lanenet.apply(variables, images, phase="e2e", train=False)
             beta = out.beta
             line_logits, horizon_logits = out.line_logits, out.horizon_logits
-        lanes_pred = projections.compute_coordinates(beta)  # (B, C, 56)
+            M_b, M_inv_b = out.M, out.M_inv
+        if M_b is not None:  # learned-homography option (geometry/dlt.py)
+            lanes_pred = projections.compute_coordinates_with_M(
+                beta, M_b, M_inv_b)
+        else:
+            lanes_pred = projections.compute_coordinates(beta)  # (B, C, 56)
 
         if cfg.clas:
             # Horizon row estimate: round((2.5*sum(sigmoid)+80)/10)*10

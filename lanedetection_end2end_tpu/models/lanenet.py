@@ -57,6 +57,11 @@ class LaneNetOutput:
     line_logits: Optional[jax.Array]   # (B,3,4) bev | (B,4) bp | None
     horizon_logits: Optional[jax.Array]  # (B, resize) | None
     encoder_features: Optional[jax.Array] = None  # (B, H/8, W/8, 128)
+    # learned-homography option only (cfg.learn_homography): per-sample
+    # matrices from the DLT solve, like the reference BEV forward's M slot
+    # (Birds_Eye_View_Loss/Networks/LSQ_layer.py:326)
+    M: Optional[jax.Array] = None        # (B, 3, 3)
+    M_inv: Optional[jax.Array] = None    # (B, 3, 3)
 
 
 class LaneNetModule(nn.Module):
@@ -73,7 +78,7 @@ class LaneNetModule(nn.Module):
                      pretrained=cfg.pretrained, dtype=self.dtype,
                      name="erfnet")
         enc, dec, seg2 = net(images, train, use_main_head=use_main_head)
-        line = horizon = None
+        line = horizon = offsets = None
         if cfg.clas:
             variant = "bev" if cfg.profile == "bev" else "bp"
             line = Classification("line", resize=cfg.resize, variant=variant,
@@ -82,7 +87,11 @@ class LaneNetModule(nn.Module):
             horizon = Classification("horizon", resize=cfg.resize,
                                      variant=variant, dtype=self.dtype,
                                      name="horizon_estimation")(enc, train)
-        return enc, dec, seg2, line, horizon
+        if cfg.learn_homography:
+            from lanedetection_end2end_tpu.models.dlt import HomographyHead
+            offsets = HomographyHead(dtype=self.dtype,
+                                     name="homography_head")(enc, train)
+        return enc, dec, seg2, line, horizon, offsets
 
 
 class LaneNet:
@@ -143,9 +152,9 @@ class LaneNet:
                                 use_main_head=use_main, rngs=rngs,
                                 mutable=mutable)
         if mutable:
-            (enc, dec, seg2, line, horizon), new_vars = out
+            (enc, dec, seg2, line, horizon, offsets), new_vars = out
         else:
-            enc, dec, seg2, line, horizon = out
+            enc, dec, seg2, line, horizon, offsets = out
             new_vars = None
 
         dec = dec.astype(jnp.float32)
@@ -169,13 +178,21 @@ class LaneNet:
                                       activated[..., :1])
 
         masked = activated * self._mask.astype(activated.dtype)
-        # Fit straight from the channels-last maps (the NHWC->NCHW transpose
-        # is a pathological C-minor relayout on TPU; see WLSFitter.__call__).
-        beta = self.fitter(masked, layout="nhwc")
+        M_b = M_inv_b = None
+        if offsets is not None and phase == "e2e":
+            from lanedetection_end2end_tpu.geometry.dlt import dlt_homography
+            M_b, M_inv_b = dlt_homography(offsets, cfg.resize)
+            beta = self.fitter.fit_with_M(masked, M_b, layout="nhwc")
+        else:
+            # Fit straight from the channels-last maps (the NHWC->NCHW
+            # transpose is a pathological C-minor relayout on TPU; see
+            # WLSFitter.__call__).
+            beta = self.fitter(masked, layout="nhwc")
         # NCHW weight maps only for visualization/parity consumers; XLA
         # dead-code-eliminates this transpose from graphs that don't use it.
         wmaps = jnp.transpose(masked, (0, 3, 1, 2))  # (B, C, H, W)
-        res = LaneNetOutput(beta, wmaps, dec, line, horizon, enc)
+        res = LaneNetOutput(beta, wmaps, dec, line, horizon, enc,
+                            M_b, M_inv_b)
         return (res, new_vars) if mutable else res
 
     # -- packed fast path ------------------------------------------------
@@ -187,6 +204,7 @@ class LaneNet:
         cfg = self.cfg
         out_ch = cfg.nclasses if cfg.pretrained else cfg.seg_out_channels
         return (phase == "e2e" and self.fitter.separable
+                and not cfg.learn_homography
                 and packed_shapes_ok(cfg.resize, out_ch))
 
     def apply_packed(self, variables, images, *, phase: str = "e2e",

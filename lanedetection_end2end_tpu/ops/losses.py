@@ -105,6 +105,9 @@ class BackprojectionLoss:
         self.Y = jnp.asarray(Y, dtype=dtype)
         self.y_prime = jnp.asarray(y_prime, dtype=dtype)
         self.M_inv = jnp.asarray(M_inv, dtype=dtype)
+        self.order = order
+        self.resize = resize
+        self._y_d = jnp.asarray(y_d, dtype=jnp.float32)  # (56,)
 
     def __call__(self, params: jax.Array, x_gt: jax.Array,
                  valid_samples: jax.Array):
@@ -129,6 +132,39 @@ class BackprojectionLoss:
         x_err = (x_gt.astype(x_cal.dtype) - x_cal) * valid
         count = jnp.sum(valid)
         loss = jnp.where(count > 0, jnp.sum(x_err * x_err) / jnp.maximum(count, 1.0), 0.0)
+        return loss, x_cal * valid
+
+    def with_M(self, params: jax.Array, x_gt: jax.Array,
+               valid_samples: jax.Array, M_b: jax.Array,
+               M_inv_b: jax.Array):
+        """PER-SAMPLE-homography variant for the learned-homography option
+        (geometry/dlt.py): the sampling heights' BEV images and the
+        backprojection both use each sample's own matrices, so gradients
+        flow into the homography head through the loss geometry as well as
+        through the fit.
+
+        Args: as __call__, plus M_b/M_inv_b (B, 3, 3).
+        """
+        M_b = M_b.astype(jnp.float32)
+        Mi = M_inv_b.astype(jnp.float32)
+        y_d = self._y_d[None, :]                                  # (1, 56)
+        y_prime = ((M_b[:, 1, 1:2] * y_d + M_b[:, 1, 2:3])
+                   / (M_b[:, 2, 1:2] * y_d + M_b[:, 2, 2:3]))     # (B, 56)
+        y_eval = (self.resize - 1.0) - y_prime
+        Yb = jnp.stack([y_eval ** p for p in range(self.order, 0, -1)]
+                       + [jnp.ones_like(y_eval)], axis=-1)        # (B, 56, o1)
+        x_prime = jnp.einsum("bp,bhp->bh", params.astype(jnp.float32), Yb,
+                             precision=jax.lax.Precision.HIGHEST)
+        denom = (Mi[:, 2, 0:1] * x_prime + Mi[:, 2, 1:2] * y_prime
+                 + Mi[:, 2, 2:3])
+        x_cal = (Mi[:, 0, 0:1] * x_prime + Mi[:, 0, 1:2] * y_prime
+                 + Mi[:, 0, 2:3]) / denom
+        valid = valid_samples.astype(x_cal.dtype)
+        x_err = (x_gt.astype(x_cal.dtype) - x_cal) * valid
+        count = jnp.sum(valid)
+        loss = jnp.where(count > 0,
+                         jnp.sum(x_err * x_err) / jnp.maximum(count, 1.0),
+                         0.0)
         return loss, x_cal * valid
 
 

@@ -189,12 +189,20 @@ def _nb1d_kernel(x_ref, Kh1, Kw1, Kh2, Kw2, b1, m1, a1, b3, m2, a2,
 
 
 def _nb1d_body(x, consts, *, H, L, C, d, interpret):
-    """One NB1D block on a resident (H, L) plane; returns (H*L/128, 128) f32
-    pre-relu residual output. Shared by the single and chain kernels."""
+    """One NB1D block on a resident (H, L) plane; returns (H*L/128, 128)
+    pre-relu residual output (f32, or bf16 under NB1D_BF16ACC=1). Shared by
+    the single and chain kernels."""
     Kh1, Kw1, Kh2, Kw2, b1, m1, a1, b3, m2, a2 = consts
 
+    # NB1D_BF16ACC=1: tap sums and epilogues in bf16 (half the VPU vreg
+    # traffic). Mosaic requires a 32-bit matmul accumulator, so each dot
+    # still accumulates f32 in the MXU and is cast at its output; only the
+    # inter-tap adds and epilogues round. ~1% relative noise vs f32.
+    acc_dtype = (jnp.bfloat16 if os.environ.get("NB1D_BF16ACC") == "1"
+                 else jnp.float32)
     dot = lambda a, K: jnp.dot(a.reshape(-1, 128), K,
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32
+                               ).astype(acc_dtype)
 
     def conv_h_direct(t, K, dil):
         if dil >= H:
@@ -269,15 +277,16 @@ def _nb1d_body(x, consts, *, H, L, C, d, interpret):
         return (conv_w_tri if K.shape[0] == 2 else conv_w_direct)(t, K, dil)
 
     to_plane = lambda v: v.reshape(H, L)
+    cv = lambda v: v.astype(acc_dtype)  # epilogue constants in the acc dtype
     y = conv_h(x, Kh1, 1)
-    y = jnp.maximum(y + b1, 0.0).astype(jnp.bfloat16)
+    y = jnp.maximum(y + cv(b1), 0.0).astype(jnp.bfloat16)
     y = conv_w(to_plane(y), Kw1, 1)
-    y = jnp.maximum(y * m1 + a1, 0.0).astype(jnp.bfloat16)
+    y = jnp.maximum(y * cv(m1) + cv(a1), 0.0).astype(jnp.bfloat16)
     y = conv_h(to_plane(y), Kh2, d)
-    y = jnp.maximum(y + b3, 0.0).astype(jnp.bfloat16)
+    y = jnp.maximum(y + cv(b3), 0.0).astype(jnp.bfloat16)
     y = conv_w(to_plane(y), Kw2, d)
-    y = y * m2 + a2
-    y = y + x.reshape(-1, 128).astype(jnp.float32)
+    y = y * cv(m2) + cv(a2)
+    y = y + x.reshape(-1, 128).astype(acc_dtype)
     return jnp.maximum(y, 0.0)
 
 

@@ -164,14 +164,17 @@ def _apply_act_kernel(x_ref, k_ref, b_ref, o_ref, *, shifts, axis, act,
     o_ref[0] = acc.astype(o_ref.dtype).reshape(H, L)
 
 
-def _dx_act_kernel(dy_ref, y_ref, k_ref, o_ref, *, shifts, axis, act,
-                   interpret):
-    """dx = sum_t T_{-s_t}(dz @ k[t]^T), dz = dy * (y > 0) when act."""
+def _bwd_act_kernel(x_ref, dy_ref, y_ref, k_ref, dx_ref, dk_ref, db_ref, *,
+                    shifts, axis, act, interpret):
+    """Merged backward: dx, dk, db in ONE pass over (x, dy, y).
+
+    Halves the backward's HBM traffic vs the split dx/wgrad kernels (dy and
+    y were each read twice; the relu mask and dz were computed twice)."""
+    x = x_ref[0]
     dy = dy_ref[0]
     H, L = dy.shape
     if act:
-        # Mosaic can't compare 16-bit values ("Target does not support this
-        # comparison"); mask in f32 and multiply
+        # Mosaic can't compare 16-bit values; mask in f32 and multiply
         mask = (y_ref[0].astype(jnp.float32) > 0.0).astype(dy.dtype)
         dz = dy * mask
     else:
@@ -183,19 +186,8 @@ def _dx_act_kernel(dy_ref, y_ref, k_ref, o_ref, *, shifts, axis, act,
         term = jnp.dot(z.reshape(-1, 128), kT[t].T,
                        preferred_element_type=jnp.float32)
         acc = term if acc is None else acc + term
-    o_ref[0] = acc.astype(o_ref.dtype).reshape(H, L)
+    dx_ref[0] = acc.astype(dx_ref.dtype).reshape(H, L)
 
-
-def _wgrad_act_kernel(x_ref, dy_ref, y_ref, dk_ref, db_ref, *, shifts, axis,
-                      act, interpret):
-    """dk[t] += T_{s_t}(x)^T @ dz; db += row-sums of dz."""
-    x = x_ref[0]
-    dy = dy_ref[0]
-    if act:
-        mask = (y_ref[0].astype(jnp.float32) > 0.0).astype(dy.dtype)
-        dz = dy * mask
-    else:
-        dz = dy
     dz2 = dz.astype(x.dtype).reshape(-1, 128)
     parts = []
     for s in shifts:
@@ -272,26 +264,19 @@ def _act_bwd(axis, d, act, interpret, res, dy):
     interpret = _resolve(interpret)
     B, H, L = x.shape
     shifts = (-d, 0, d)
-    dx = pl.pallas_call(
-        functools.partial(_dx_act_kernel, shifts=shifts, axis=axis, act=act,
+    dx, dk, db = pl.pallas_call(
+        functools.partial(_bwd_act_kernel, shifts=shifts, axis=axis, act=act,
                           interpret=interpret),
         grid=(B,),
-        in_specs=[_plane_spec(H, L), _plane_spec(H, L),
+        in_specs=[_plane_spec(H, L), _plane_spec(H, L), _plane_spec(H, L),
                   _const_spec((3, 128, 128))],
-        out_specs=_plane_spec(H, L),
-        out_shape=jax.ShapeDtypeStruct((B, H, L), x.dtype),
-        interpret=interpret,
-    )(dy, y, kexp)
-    dk, db = pl.pallas_call(
-        functools.partial(_wgrad_act_kernel, shifts=shifts, axis=axis,
-                          act=act, interpret=interpret),
-        grid=(B,),
-        in_specs=[_plane_spec(H, L), _plane_spec(H, L), _plane_spec(H, L)],
-        out_specs=[_const_spec((3, 128, 128)), _const_spec((1, 128))],
-        out_shape=[jax.ShapeDtypeStruct((3, 128, 128), jnp.float32),
+        out_specs=[_plane_spec(H, L), _const_spec((3, 128, 128)),
+                   _const_spec((1, 128))],
+        out_shape=[jax.ShapeDtypeStruct((B, H, L), x.dtype),
+                   jax.ShapeDtypeStruct((3, 128, 128), jnp.float32),
                    jax.ShapeDtypeStruct((1, 128), jnp.float32)],
         interpret=interpret,
-    )(x, dy, y)
+    )(x, dy, y, kexp)
     return dx, dk.astype(kexp.dtype), db.astype(kexp.dtype)
 
 

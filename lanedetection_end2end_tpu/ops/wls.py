@@ -163,6 +163,10 @@ class WLSFitter:
             self._sep_coeff = jnp.asarray(
                 np.concatenate([c0, c1], axis=0), dtype=dtype)  # (2H, K)
             self._sep_xs = jnp.asarray((xs - x0) / sx, dtype=dtype)
+            # constants for the per-sample-homography path (fit_with_M)
+            self._sep_ys = jnp.asarray(ys, dtype=jnp.float32)
+            self._sep_x0, self._sep_sx = x0, sx
+            self._normalized = normalized
         # reg_ls acts on the UNSCALED Z; in scaled coords it becomes a
         # diagonal of reg_ls * scale^(-2p) (see module docstring, point 3).
         self._reg_diag = jnp.asarray(self.reg_ls * scale ** (-2.0 * powers),
@@ -247,6 +251,65 @@ class WLSFitter:
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)
         return self._finish(moments, B, C)
+
+    # ------------------------------------------------------------------
+    def sep_coeff_from_M(self, M_b: jax.Array) -> jax.Array:
+        """Per-sample separable coefficient rows (B, 2H, K) from (B, 3, 3)
+        homographies of the row-separable form (M[1,0] = M[2,0] = 0,
+        geometry/dlt.py). The jittable, differentiable twin of the host
+        precomputation in __init__: only these tiny (B, H, order+1) tensors
+        depend on the learned matrix — the heavy W-axis image reductions
+        stay homography-independent."""
+        assert self.separable, "per-sample fitting needs separable form"
+        M_b = M_b.astype(jnp.float32)
+        ys = self._sep_ys[None, :]                       # (1, H)
+        D = M_b[:, 2, 1:2] * ys + M_b[:, 2, 2:3]         # (B, H)
+        alpha = M_b[:, 0, 0:1] / D
+        gamma = (M_b[:, 0, 1:2] * ys + M_b[:, 0, 2:3]) / D
+        y_rows = (M_b[:, 1, 1:2] * ys + M_b[:, 1, 2:3]) / D
+        y_rows = (1.0 - y_rows) if self._normalized else (
+            float(self.height - 1) - y_rows)
+        t = y_rows / self.y_scale
+        o1 = self.n_coeff
+        Yr = jnp.stack([t ** p for p in range(self.order, -1, -1)],
+                       axis=-1)                          # (B, H, o1)
+        prods = (Yr[..., :, None] * Yr[..., None, :]).reshape(
+            *Yr.shape[:2], o1 * o1)
+        c0 = jnp.concatenate(
+            [prods, Yr * (gamma + alpha * self._sep_x0)[..., None]], axis=-1)
+        c1 = jnp.concatenate(
+            [jnp.zeros_like(prods), Yr * (alpha * self._sep_sx)[..., None]],
+            axis=-1)
+        return jnp.concatenate([c0, c1], axis=1)         # (B, 2H, K)
+
+    def fit_with_M(self, wmaps: jax.Array, M_b: jax.Array,
+                   layout: str = "nhwc") -> jax.Array:
+        """Fit with PER-SAMPLE homographies (learned-homography option).
+
+        Args:
+          wmaps: weight maps, (B, H, W, C) for layout='nhwc' or (B, C, H, W).
+          M_b: (B, 3, 3) row-separable homographies (geometry/dlt.py).
+        Returns: (B, C, order+1) coefficients; gradients flow to both wmaps
+          and M_b (the finetuned-homography training signal).
+        """
+        assert self.separable, "per-sample fitting needs separable form"
+        if layout == "nhwc":
+            B, C = wmaps.shape[0], wmaps.shape[-1]
+            w2 = (wmaps * wmaps).astype(self.dtype)
+            xs = self._sep_xs[None, None, :, None]
+            S0 = jnp.transpose(jnp.sum(w2, axis=2), (0, 2, 1))      # (B,C,H)
+            S1 = jnp.transpose(jnp.sum(w2 * xs, axis=2), (0, 2, 1))
+        else:
+            B, C = wmaps.shape[0], wmaps.shape[1]
+            w2 = (wmaps * wmaps).astype(self.dtype)
+            w2 = w2.reshape(B, C, self.height, self.width)
+            S0 = jnp.sum(w2, axis=-1)
+            S1 = jnp.sum(w2 * self._sep_xs[None, None, None, :], axis=-1)
+        S = jnp.concatenate([S0, S1], axis=-1)           # (B, C, 2H)
+        coeff = self.sep_coeff_from_M(M_b)               # (B, 2H, K)
+        moments = jnp.einsum("bch,bhk->bck", S.astype(jnp.float32), coeff,
+                             precision=jax.lax.Precision.HIGHEST)
+        return self._finish(moments.reshape(B * C, -1), B, C)
 
     # ------------------------------------------------------------------
     def _finish(self, moments: jax.Array, B: int, C: int) -> jax.Array:

@@ -130,12 +130,19 @@ def make_loss_fn(lanenet, cfg: LaneConfig, phase: str, train: bool,
                                                   gt_params[:, k])
         return loss
 
-    def curve_loss_bp(beta, lanes, valid_points):
-        """Backprojection MSE summed over lanes / nclasses (main.py:296-308)."""
+    def curve_loss_bp(beta, lanes, valid_points, M_b=None, M_inv_b=None):
+        """Backprojection MSE summed over lanes / nclasses (main.py:296-308).
+        With learn_homography, the loss geometry uses each sample's learned
+        matrices (BackprojectionLoss.with_M)."""
         loss = 0.0
         x_cal = []
         for k in range(cfg.nclasses):
-            lk, xk = bp_criterion(beta[:, k], lanes[:, k], valid_points[:, k])
+            if M_b is not None:
+                lk, xk = bp_criterion.with_M(beta[:, k], lanes[:, k],
+                                             valid_points[:, k], M_b, M_inv_b)
+            else:
+                lk, xk = bp_criterion(beta[:, k], lanes[:, k],
+                                      valid_points[:, k])
             loss = loss + lk
             x_cal.append(xk)
         return loss / cfg.nclasses, jnp.stack(x_cal, axis=1)
@@ -206,7 +213,8 @@ def make_loss_fn(lanenet, cfg: LaneConfig, phase: str, train: bool,
                 jnp.mean((tl + tr) / 2.0))
         else:
             curve, x_cal = curve_loss_bp(beta, batch["lanes"],
-                                         batch["valid_points"])
+                                         batch["valid_points"],
+                                         out.M, out.M_inv)
             outputs["x_cal"] = x_cal
             if phase == "e2e":
                 loss = curve
