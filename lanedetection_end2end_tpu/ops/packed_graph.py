@@ -61,6 +61,7 @@ train-mode batch statistics, and gradients.
 from __future__ import annotations
 
 import functools
+import os
 from math import ceil
 from typing import Any, Dict, Tuple
 
@@ -331,11 +332,76 @@ def conv_w_packed(x, kern, bias, C: int, d: int, pallas: bool = False,
     return jax.nn.relu(y) if act else y
 
 
+def _bn_mul_add(mom, bn_params, bn_stats, C: int, n: int, train: bool,
+                axis_name):
+    """(mul, add, new_stats) from fused-kernel moments (train) or running
+    statistics (eval); flax BatchNorm semantics (batchnorm_packed)."""
+    if train:
+        mean, mean2 = mom[0, :C] / n, mom[1, :C] / n
+        if axis_name is not None:
+            mean = jax.lax.pmean(mean, axis_name)
+            mean2 = jax.lax.pmean(mean2, axis_name)
+        var = mean2 - jnp.square(mean)
+        new_stats = {
+            "mean": _BN_MOMENTUM * bn_stats["mean"]
+            + (1.0 - _BN_MOMENTUM) * mean,
+            "var": _BN_MOMENTUM * bn_stats["var"]
+            + (1.0 - _BN_MOMENTUM) * var,
+        }
+    else:
+        mean, var = bn_stats["mean"], bn_stats["var"]
+        new_stats = bn_stats
+    mul = bn_params["scale"] * jax.lax.rsqrt(var + _BN_EPS)
+    add = bn_params["bias"] - mean * mul
+    return mul.astype(jnp.float32), add.astype(jnp.float32), new_stats
+
+
+def _kexp_b(p, key, C, axis):
+    """(kexp (3,128,128) f32, btile (1,128) f32) for a conv param dict."""
+    kern = p[key]["kernel"]
+    taps = ([kern[t, 0] for t in range(3)] if axis == "h"
+            else [kern[0, t] for t in range(3)])
+    kexp = jnp.stack([_expand(t.astype(jnp.float32), C) for t in taps])
+    btile = _tile_lane(p[key]["bias"].astype(jnp.float32), 128, C)[None]
+    return kexp, btile
+
+
+def _nb1d_fused(x, p, stats, *, C, d, train, drop, rng, axis_name):
+    """NB1D block via the fused half-block kernels (ops/pallas_nb_block.py):
+    2 forward pallas_calls instead of 6, BN1 normalize fused as half B's
+    prologue, only per-channel statistics math and the residual epilogue in
+    XLA."""
+    from lanedetection_end2end_tpu.ops.pallas_nb_block import (
+        nb_half_a, nb_half_b)
+    B, H, L = x.shape
+    n = B * H * (L // C)
+    kh1, bh1 = _kexp_b(p, "conv3x1_1", C, "h")
+    kw1, bw1 = _kexp_b(p, "conv1x3_1", C, "w")
+    kh2, bh2 = _kexp_b(p, "conv3x1_2", C, "h")
+    kw2, bw2 = _kexp_b(p, "conv1x3_2", C, "w")
+
+    y2, mom1 = nb_half_a(x, kh1, bh1, kw1, bw1, C)
+    mul1, add1, bn1 = _bn_mul_add(mom1, p["bn1"], stats["bn1"], C, n, train,
+                                  axis_name)
+    y4, mom2 = nb_half_b(y2, _tile_lane(mul1, 128, C)[None],
+                         _tile_lane(add1, 128, C)[None],
+                         kh2, bh2, kw2, bw2, d, d * C)
+    mul2, add2, bn2 = _bn_mul_add(mom2, p["bn2"], stats["bn2"], C, n, train,
+                                  axis_name)
+    y = y4 * _tile_lane(mul2, L, C).astype(y4.dtype) \
+        + _tile_lane(add2, L, C).astype(y4.dtype)
+    y = dropout2d_packed(y, drop, rng, C, train)
+    return jax.nn.relu(y + x), {"bn1": bn1, "bn2": bn2}
+
+
 def nb1d_packed(x, params: Dict, stats: Dict, *, C: int, d: int,
                 train: bool, drop: float, rng, pallas: bool = False,
                 axis_name=None):
     """One NonBottleneck1D block on a packed plane. Returns (y, new_stats)."""
     p = params
+    if pallas and os.environ.get("PACKED_FUSED_BLOCKS", "0") == "1":
+        return _nb1d_fused(x, p, stats, C=C, d=d, train=train, drop=drop,
+                           rng=rng, axis_name=axis_name)
     y = conv_h_packed(x, p["conv3x1_1"]["kernel"],
                       p["conv3x1_1"]["bias"], C, 1, pallas=pallas, act=True)
     y = conv_w_packed(y, p["conv1x3_1"]["kernel"], p["conv1x3_1"]["bias"],

@@ -31,6 +31,14 @@ jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.cache/lanedet_xla"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
+# LANEDET_PLATFORM=cpu forces the CPU backend BEFORE first backend use.
+# Env vars (JAX_PLATFORMS/JAX_PLATFORM_NAME) are unreliable here: plugin
+# sites that preload jax read them at interpreter startup, and enumerating
+# backends can block indefinitely on an unreachable remote device — only
+# jax.config.update avoids initializing the remote plugin at all.
+if os.environ.get("LANEDET_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["LANEDET_PLATFORM"])
+
 from lanedetection_end2end_tpu.config import build_parser, config_from_args
 from lanedetection_end2end_tpu.data import (
     LaneDataset, LaneTestSet, get_loader, get_testloader,

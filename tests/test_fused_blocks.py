@@ -1,0 +1,142 @@
+"""Parity of the fused NB1D half-block kernels (ops/pallas_nb_block.py)
+against the pure-jnp lane-packed formulation (ops/packed_graph.py), which is
+itself chained to the flax graph and the torch reference by
+tests/test_packed_graph.py.
+
+Runs in f32 (interpret mode on CPU), where the kernels are dtype-preserving
+and agreement is tight. The conv biases that feed a train-mode BatchNorm have
+true gradient ~0 (the normalize cancels additive shifts), so they are checked
+with an absolute tolerance.
+
+Reference anchor: non_bottleneck_1d (ERFNet.py:25-60) and the training loop
+the kernels accelerate (Birds_Eye_View_Loss/main.py:171-357)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from lanedetection_end2end_tpu.ops import packed_graph as pg
+
+
+def _mk_block_params(rng, C):
+    def mk_conv(shape):
+        return {
+            "kernel": jnp.asarray(
+                rng.normal(0, 0.2, shape).astype(np.float32)),
+            "bias": jnp.asarray(
+                rng.normal(0, 0.1, (C,)).astype(np.float32)),
+        }
+    params = {
+        "conv3x1_1": mk_conv((3, 1, C, C)),
+        "conv1x3_1": mk_conv((1, 3, C, C)),
+        "conv3x1_2": mk_conv((3, 1, C, C)),
+        "conv1x3_2": mk_conv((1, 3, C, C)),
+        "bn1": {"scale": jnp.ones(C), "bias": jnp.zeros(C)},
+        "bn2": {"scale": jnp.ones(C) * 1.1, "bias": jnp.ones(C) * 0.05},
+    }
+    stats = {
+        "bn1": {"mean": jnp.zeros(C), "var": jnp.ones(C)},
+        "bn2": {"mean": jnp.zeros(C) * 0.1, "var": jnp.ones(C)},
+    }
+    return params, stats
+
+
+@pytest.mark.parametrize("C,d", [(16, 1), (16, 2), (64, 1)])
+def test_fused_block_matches_jnp(monkeypatch, C, d):
+    monkeypatch.setenv("PACKED_FUSED_BLOCKS", "1")
+    rng = np.random.default_rng(0)
+    B, H, W = 2, 8, 128 // C * 4
+    L = W * C
+    x = jnp.asarray(rng.normal(0, 1, (B, H, L)).astype(np.float32))
+    params, stats = _mk_block_params(rng, C)
+
+    def f(p, x_, pallas):
+        y, ns = pg.nb1d_packed(x_, p, stats, C=C, d=d, train=True,
+                               drop=0.0, rng=None, pallas=pallas)
+        return jnp.sum(y ** 2), (y, ns)
+
+    (l_ref, (y_ref, ns_ref)), g_ref = jax.value_and_grad(
+        lambda p: f(p, x, False), has_aux=True)(params)
+    (l_fused, (y_fused, ns_fused)), g_fused = jax.value_and_grad(
+        lambda p: f(p, x, True), has_aux=True)(params)
+
+    np.testing.assert_allclose(float(l_fused), float(l_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref),
+                               atol=2e-4, rtol=1e-3)
+    for k in ("bn1", "bn2"):
+        for s in ("mean", "var"):
+            np.testing.assert_allclose(
+                np.asarray(ns_fused[k][s]), np.asarray(ns_ref[k][s]),
+                atol=1e-5, rtol=1e-4)
+
+    flat_ref = {jax.tree_util.keystr(kp): v for kp, v in
+                jax.tree_util.tree_leaves_with_path(g_ref)}
+    gmax = max(float(jnp.abs(v).max()) for v in jax.tree_util.tree_leaves(
+        g_ref))
+    for kp, v in jax.tree_util.tree_leaves_with_path(g_fused):
+        key = jax.tree_util.keystr(kp)
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(flat_ref[key]),
+            atol=2e-3 * gmax, rtol=2e-3, err_msg=key)
+
+
+def test_fused_block_eval_mode(monkeypatch):
+    """Eval mode uses running stats; forward must be bit-comparable too."""
+    monkeypatch.setenv("PACKED_FUSED_BLOCKS", "1")
+    rng = np.random.default_rng(1)
+    C, d, B, H, W = 16, 2, 2, 8, 32
+    x = jnp.asarray(rng.normal(0, 1, (B, H, W * C)).astype(np.float32))
+    params, stats = _mk_block_params(rng, C)
+    stats = {"bn1": {"mean": jnp.full(C, 0.2), "var": jnp.full(C, 1.5)},
+             "bn2": {"mean": jnp.full(C, -0.1), "var": jnp.full(C, 0.8)}}
+    y_ref, ns_ref = pg.nb1d_packed(x, params, stats, C=C, d=d, train=False,
+                                   drop=0.0, rng=None, pallas=False)
+    y_fused, ns_fused = pg.nb1d_packed(x, params, stats, C=C, d=d,
+                                       train=False, drop=0.0, rng=None,
+                                       pallas=True)
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref),
+                               atol=2e-4, rtol=1e-3)
+    for k in ("bn1", "bn2"):
+        for s in ("mean", "var"):
+            np.testing.assert_allclose(np.asarray(ns_fused[k][s]),
+                                       np.asarray(ns_ref[k][s]))
+
+
+def test_fused_full_graph_parity(monkeypatch):
+    """erfnet_packed with fused blocks on: exercises every (C, d) stage the
+    real model hits (enc C=64 d=1, C=128 d=2/4/8/16, dec C=64/16)."""
+    from lanedetection_end2end_tpu.models.erfnet import ERFNet
+    model = ERFNet(in_channels=3, out_channels=4, pretrained=True,
+                   dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    images = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 64, 3))
+    variables = model.init({"params": rng, "dropout": rng}, images,
+                           train=False)
+    params = variables["params"]["erfnet"] if "erfnet" in variables[
+        "params"] else variables["params"]
+    bstats = (variables["batch_stats"]["erfnet"]
+              if "erfnet" in variables.get("batch_stats", {})
+              else variables["batch_stats"])
+
+    def fwd(pallas_env):
+        monkeypatch.setenv("PACKED_FUSED_BLOCKS", pallas_env)
+        return pg.erfnet_packed(params, bstats, images, out_channels=4,
+                                train=True, rng=None, use_main_head=True,
+                                dropout_1=0.0, dropout_2=0.0,
+                                dtype=jnp.float32,
+                                pallas_convs=pallas_env == "1")
+
+    enc_ref, dec_ref, ns_ref = fwd("0")
+    enc_f, dec_f, ns_f = fwd("1")
+    np.testing.assert_allclose(np.asarray(enc_f), np.asarray(enc_ref),
+                               atol=5e-4, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(dec_f), np.asarray(dec_ref),
+                               atol=5e-4, rtol=2e-3)
+    for path, leaf in jax.tree_util.tree_leaves_with_path(ns_ref):
+        got = jax.tree_util.tree_leaves_with_path(ns_f)
+        flat_f = {jax.tree_util.keystr(kp): v for kp, v in got}
+        np.testing.assert_allclose(
+            np.asarray(flat_f[jax.tree_util.keystr(path)]),
+            np.asarray(leaf), atol=1e-4, rtol=1e-3,
+            err_msg=jax.tree_util.keystr(path))
