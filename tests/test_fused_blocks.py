@@ -140,3 +140,42 @@ def test_fused_full_graph_parity(monkeypatch):
             np.asarray(flat_f[jax.tree_util.keystr(path)]),
             np.asarray(leaf), atol=1e-4, rtol=1e-3,
             err_msg=jax.tree_util.keystr(path))
+
+
+def test_fused_block_shardmap_syncbn(monkeypatch):
+    """The fused block under shard_map DP: per-shard moments pmean'd inside
+    _bn_mul_add must reproduce the single-device full-batch step (sync-BN),
+    for both the output and the new running stats. Mirrors what
+    train/steps.py does for the whole net (its CPU path is pure-jnp, so the
+    fused+collective combination is pinned here)."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from lanedetection_end2end_tpu.train.steps import _shard_map
+
+    monkeypatch.setenv("PACKED_FUSED_BLOCKS", "1")
+    rng = np.random.default_rng(2)
+    C, d, B, H, W = 16, 1, 8, 8, 32
+    x = jnp.asarray(rng.normal(0, 1, (B, H, W * C)).astype(np.float32))
+    params, stats = _mk_block_params(rng, C)
+
+    y_full, ns_full = pg.nb1d_packed(x, params, stats, C=C, d=d, train=True,
+                                     drop=0.0, rng=None, pallas=True)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+
+    def shard_fn(p, s, xs):
+        return pg.nb1d_packed(xs, p, s, C=C, d=d, train=True, drop=0.0,
+                              rng=None, pallas=True, axis_name="data")
+
+    y_sh, ns_sh = _shard_map(
+        shard_fn, mesh,
+        (P(), P(), P("data")),
+        (P("data"), P()))(params, stats, x)
+
+    np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y_full),
+                               atol=2e-4, rtol=1e-3)
+    for k in ("bn1", "bn2"):
+        for s in ("mean", "var"):
+            np.testing.assert_allclose(
+                np.asarray(ns_sh[k][s]), np.asarray(ns_full[k][s]),
+                atol=1e-5, rtol=1e-4, err_msg=f"{k}.{s}")
