@@ -40,6 +40,12 @@ jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.cache/lanedet_xla"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
+# LANEDET_PLATFORM=cpu forces the CPU backend before first backend use (see
+# main.py: env vars are read too early by plugin sites, and enumerating
+# backends can block on an unreachable remote device).
+if os.environ.get("LANEDET_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["LANEDET_PLATFORM"])
+
 import jax.numpy as jnp
 
 from lanedetection_end2end_tpu.config import train_sh_config
