@@ -120,6 +120,18 @@ def _encoder_plane(x, c, *, H, W, interpret):
     return t  # (H/8, (W/8)*128)
 
 
+def _pair_factor(B: int) -> int:
+    """Images per grid step (env NB1D_PAIR, default 1). P>1 gives Mosaic P
+    independent MXU/VPU chains per program to interleave — the serial
+    conv->epilogue->conv dependency chain of one image leaves whole units
+    idle that another image's chain can fill."""
+    import os
+    P = int(os.environ.get("NB1D_PAIR", "1"))
+    while P > 1 and B % P:
+        P -= 1
+    return max(P, 1)
+
+
 def encoder_fused(images, packed_arrays, struct, cfg: LaneConfig,
                   interpret: bool = False):
     """images: (B, H, W, 3) -> encoder features (B, H/8, W/8, 128)."""
@@ -128,23 +140,25 @@ def encoder_fused(images, packed_arrays, struct, cfg: LaneConfig,
                 ((0, 0), (0, 0), (0, 0), (0, 1)))  # RGB -> 4ch lane packing
     xf = x.reshape(B, H, W * 4)
     Ho, Lo = H // 8, (W // 8) * 128
+    P = _pair_factor(B)
 
     def kernel(x_ref, *refs):
         out_ref = refs[-1]
         c = _rebuild(struct, refs[:-1], read=lambda r: r[:])
-        out_ref[0] = _encoder_plane(x_ref[0], c, H=H, W=W,
-                                    interpret=interpret)
+        for i in range(P):
+            out_ref[i] = _encoder_plane(x_ref[i], c, H=H, W=W,
+                                        interpret=interpret)
 
     full = lambda a: pl.BlockSpec(
         a.shape, lambda b, _n=len(a.shape): (0,) * _n,
         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
-        grid=(B,),
-        in_specs=[pl.BlockSpec((1, H, W * 4), lambda b: (b, 0, 0),
+        grid=(B // P,),
+        in_specs=[pl.BlockSpec((P, H, W * 4), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM)]
         + [full(a) for a in packed_arrays],
-        out_specs=pl.BlockSpec((1, Ho, Lo), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((P, Ho, Lo), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Ho, Lo), jnp.bfloat16),
         interpret=interpret,
@@ -260,22 +274,25 @@ def decoder_fused(enc, packed_arrays, struct, cfg: LaneConfig,
     out_ch = cfg.nclasses if cfg.pretrained else cfg.seg_out_channels
     encf = enc.reshape(B, H8, W8 * 128)
 
+    P = _pair_factor(B)
+
     def kernel(x_ref, *refs):
         out_ref = refs[-1]
         c = _rebuild(struct, refs[:-1], read=lambda r: r[:])
-        out_ref[0] = _decoder_plane(x_ref[0], c, cfg=cfg,
-                                    interpret=interpret)
+        for i in range(P):
+            out_ref[i] = _decoder_plane(x_ref[i], c, cfg=cfg,
+                                        interpret=interpret)
 
     full = lambda a: pl.BlockSpec(
         a.shape, lambda b, _n=len(a.shape): (0,) * _n,
         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
-        grid=(B,),
-        in_specs=[pl.BlockSpec((1, H8, W8 * 128), lambda b: (b, 0, 0),
+        grid=(B // P,),
+        in_specs=[pl.BlockSpec((P, H8, W8 * 128), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM)]
         + [full(a) for a in packed_arrays],
-        out_specs=pl.BlockSpec((1, H, 256), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((P, H, 256), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, 256), jnp.float32),
         interpret=interpret,
