@@ -536,11 +536,54 @@ def _upsampler_idx(cin: int, cout: int):
     return maps, r_in, out_lanes
 
 
+def _fused_maps_on() -> bool:
+    """Fused lane-map kernels follow the fused-block gate unless overridden
+    (PACKED_FUSED_MAPS=0/1)."""
+    v = os.environ.get("PACKED_FUSED_MAPS")
+    if v is None:
+        v = os.environ.get("PACKED_FUSED_BLOCKS", "0")
+    return v == "1"
+
+
+def _upsampler_fused(x, params, stats, *, cin, cout, train, axis_name):
+    """UpsamplerBlock via the fused lane-map kernel: one pallas_call does
+    shifted views + map matmuls + bias + row interleave + BN moments; only
+    the per-channel BN math + relu stay in XLA."""
+    from lanedetection_end2end_tpu.ops.pallas_lanemaps import lane_maps_op
+    B, H, L = x.shape
+    coo, r_in, out_lanes = _upsampler_idx(cin, cout)
+    assert out_lanes == 128, (cin, cout)
+    in_lanes = 128 * r_in
+    kflat = params["conv"]["kernel"].reshape(-1)
+    # flatten {(i, dh): {shift: (rows, cols, kidx)}} -> plan + matrices
+    plan, flat = [], []
+    for (i, dh) in sorted(coo):
+        per_shift = coo[(i, dh)]
+        for shift in sorted(per_shift):
+            plan.append((i, dh, shift))
+            flat.append(_build_maps({shift: per_shift[shift]}, kflat,
+                                    in_lanes, out_lanes)[shift])
+    btile = _tile_lane(params["conv"]["bias"].astype(jnp.float32),
+                       128, cout)[None]
+    y_raw, mom = lane_maps_op(x, flat, btile, tuple(plan), in_lanes, 2,
+                              cout, x.dtype, True)
+    n = B * 2 * H * (y_raw.shape[-1] // cout)
+    mul, add, bn = _bn_mul_add(mom, params["bn"], stats["bn"], cout, n,
+                               train, axis_name)
+    L2 = y_raw.shape[-1]
+    y = y_raw * _tile_lane(mul, L2, cout).astype(y_raw.dtype) \
+        + _tile_lane(add, L2, cout).astype(y_raw.dtype)
+    return jax.nn.relu(y), {"bn": bn}
+
+
 def upsampler_packed(x, params: Dict, stats: Dict, *, cin: int, cout: int,
                      train: bool, pallas: bool = False, axis_name=None):
     """x (B, H, W*cin) -> (B, 2H, 2W*cout)."""
     B, H, L = x.shape
     coo, r_in, out_lanes = _upsampler_idx(cin, cout)
+    if pallas and out_lanes == 128 and _fused_maps_on():
+        return _upsampler_fused(x, params, stats, cin=cin, cout=cout,
+                                train=train, axis_name=axis_name)
     kflat = params["conv"]["kernel"].reshape(-1)
     x_next = jnp.concatenate(
         [x[:, 1:], jnp.zeros((B, 1, L), x.dtype)], axis=1)
@@ -595,10 +638,27 @@ def _head_idx(cin: int, cout: int):
     return maps, r_in, out_lanes
 
 
-def head_packed(x, params: Dict, *, cin: int, cout: int):
+def head_packed(x, params: Dict, *, cin: int, cout: int,
+                pallas: bool = False):
     """x (B, H, W*cin) -> (B, 2H, 2W*cout) f32 logits."""
     B, H, L = x.shape
     coo, r_in, out_lanes = _head_idx(cin, cout)
+    if pallas and out_lanes == 128 and _fused_maps_on():
+        from lanedetection_end2end_tpu.ops.pallas_lanemaps import \
+            lane_maps_op
+        in_lanes = 128 * r_in
+        kflat = params["kernel"].reshape(-1)
+        plan, flat = [], []
+        for i in sorted(coo):
+            for shift in sorted(coo[i]):
+                plan.append((i, 0, shift))
+                flat.append(_build_maps({shift: coo[i][shift]}, kflat,
+                                        in_lanes, out_lanes)[shift])
+        btile = _tile_lane(params["bias"].astype(jnp.float32),
+                           128, cout)[None]
+        y, _ = lane_maps_op(x, flat, btile, tuple(plan), in_lanes, 2,
+                            cout, jnp.float32, False)
+        return y
     kflat = params["kernel"].reshape(-1)
     rows = []
     for i in (0, 1):
@@ -682,7 +742,8 @@ def erfnet_packed(params: Dict, stats: Dict, images, *, out_channels: int,
                                        pallas=pallas_convs,
                                        axis_name=axis_name)
     head_name = "output_conv" if use_main_head else "output_conv2"
-    dec = head_packed(y, dp[head_name], cin=16, cout=out_channels)
+    dec = head_packed(y, dp[head_name], cin=16, cout=out_channels,
+                      pallas=pallas_convs)
 
     new_stats = dict(stats)
     new_stats["encoder"] = {**es, **new_enc}

@@ -1,0 +1,240 @@
+"""Pallas lane-map kernels: ConvTranspose upsampler / output head on packed
+planes — the training graph's relayout killers.
+
+The packed training graph's up-sampling ops (ops/packed_graph.py
+upsampler_packed / head_packed, the twins of ERFNet's UpsamplerBlock and
+output ConvTranspose, ERFNet.py:98-106,124) compute two output ROW PHASES
+with lane-map matmuls and then interleave them:
+
+    stack([p0, p1], axis=2).reshape(B, 2H, L2)
+
+Profiled on v5e, that interleave is the single most expensive XLA op of the
+packed train step (a full-plane HBM relayout, ~2.8 ms f32 at bs16, plus its
+mirror image in the backward pass), and every shifted lane view feeding the
+matmuls is another full-plane HBM copy. This kernel runs the whole op per
+image in VMEM:
+
+    read x once ->  shifted views (sublane slices / lane rolls)
+                ->  one matmul per (row-phase, row-shift, lane-shift) map
+                ->  + bias, row interleave, BatchNorm batch moments
+                ->  write y once
+
+The (in_lanes, 128) lane-map matrices are built OUTSIDE the kernel by
+ops/packed_graph._build_maps (a COO scatter of the learnable conv kernel),
+so `jax.grad` flows into the conv weights through the scatter for free; the
+custom_vjp here only supplies d(x, maps, bias).
+
+Numerics are bit-comparable to the jnp formulation: bf16 operands into the
+MXU, f32 accumulation, bf16 plane between map ops, f32 moments.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from lanedetection_end2end_tpu.ops.pallas_nb_block import (
+    _accum, _dmom_rows, _moments, _sel128)
+from lanedetection_end2end_tpu.ops.pallas_packed_conv import (
+    _const_spec, _plane_spec, _resolve, _shift_plane)
+
+# plan: static tuple of (row_phase i, input row shift dh, lane-block shift)
+Plan = Tuple[Tuple[int, int, int], ...]
+
+
+def _shifted(x, dh: int, wsh: int, in_lanes: int, interpret: bool):
+    t = x
+    if dh:
+        t = _shift_plane(t, dh, "h", interpret)
+    if wsh:
+        t = _shift_plane(t, wsh * in_lanes, "w", interpret)
+    return t
+
+
+def _phase_planes(x, m_refs, btile_ref, plan: Plan, in_lanes: int,
+                  n_phase: int, interpret: bool):
+    """Apply every lane map; returns one (H*L/in_lanes*?, 128) f32 block per
+    row phase, bias added."""
+    acc = [None] * n_phase
+    for (i, dh, wsh), m_ref in zip(plan, m_refs):
+        t = _shifted(x, dh, wsh, in_lanes, interpret)
+        term = jnp.dot(t.reshape(-1, in_lanes),
+                       m_ref[:].astype(t.dtype),
+                       preferred_element_type=jnp.float32)
+        acc[i] = term if acc[i] is None else acc[i] + term
+    b = btile_ref[:].astype(jnp.float32)
+    return [a + b for a in acc]
+
+
+def _interleave(ps, H: int, L2: int, dtype):
+    """Row phases -> (n*H, L2): output row n*h + i comes from phase i."""
+    n = len(ps)
+    if n == 1:
+        return ps[0].astype(dtype).reshape(H, L2)
+    stacked = jnp.concatenate(
+        [p.astype(dtype).reshape(H, 1, L2) for p in ps], axis=1)
+    return stacked.reshape(n * H, L2)
+
+
+def _fwd_kernel(x_ref, *refs, y_ref, mom_ref, plan, in_lanes, n_phase,
+                L2, want_mom, interpret):
+    m_refs, btile_ref, sel_ref = refs[:-2], refs[-2], refs[-1]
+    x = x_ref[0]
+    H = x.shape[0]
+    ps = _phase_planes(x, m_refs, btile_ref, plan, in_lanes, n_phase,
+                       interpret)
+    y = _interleave(ps, H, L2, y_ref.dtype)
+    y_ref[0] = y
+    if want_mom:
+        _accum(mom_ref, _moments(y, sel_ref), pl.program_id(0) == 0)
+    else:
+        @pl.when(pl.program_id(0) == 0)
+        def _zero():
+            mom_ref[...] = jnp.zeros_like(mom_ref)
+
+
+def _bwd_kernel(x_ref, y_ref, dy_ref, dmom_ref, *refs, dx_ref, dm_refs_out,
+                db_ref, plan, in_lanes, n_phase, L2, want_mom, interpret):
+    """One pass: fold the moments cotangent, de-interleave, emit
+    dx / dM per map / db (lane bias grad)."""
+    m_refs, sel_ref = refs[:-1], refs[-1]
+    x = x_ref[0]
+    H, L = x.shape
+    first = pl.program_id(0) == 0
+
+    dyv = dy_ref[0].astype(jnp.float32).reshape(-1, 128)
+    if want_mom:
+        ds1, ds2 = _dmom_rows(dmom_ref, sel_ref)
+        y = y_ref[0]
+        dyv = dyv + ds1 + 2.0 * y.astype(jnp.float32).reshape(-1, 128) * ds2
+    _accum(db_ref, jnp.sum(dyv, axis=0, keepdims=True), first)
+
+    # de-interleave: output row n*h + i belongs to phase i
+    dyp = dyv.reshape(H, n_phase, L2)
+    dps = [dyp[:, i].astype(x.dtype) for i in range(n_phase)]
+
+    dx = None
+    for (i, dh, wsh), m_ref, dm_ref in zip(plan, m_refs, dm_refs_out):
+        dp2 = dps[i].reshape(-1, 128)
+        t = _shifted(x, dh, wsh, in_lanes, interpret)
+        dm = jax.lax.dot_general(
+            t.reshape(-1, in_lanes), dp2,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        _accum(dm_ref, dm, first)
+        g = jnp.dot(dp2, m_ref[:].T.astype(x.dtype),
+                    preferred_element_type=jnp.float32)
+        g = g.astype(x.dtype).reshape(H, L)
+        g = _shifted(g, 0, -wsh, in_lanes, interpret)
+        if dh:
+            g = _shift_plane(g, -dh, "h", interpret)
+        dx = g if dx is None else dx + g
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+
+def _call_fwd(x, maps, btile, plan, in_lanes, n_phase, C, out_dtype,
+              want_mom, interpret):
+    B, H, L = x.shape
+    L2 = (L // in_lanes) * 128
+    sel = _sel128(C)
+    kern = functools.partial(
+        _fwd_kernel, plan=plan, in_lanes=in_lanes, n_phase=n_phase, L2=L2,
+        want_mom=want_mom, interpret=interpret)
+
+    def body(x_ref, *refs):
+        y_ref, mom_ref = refs[-2], refs[-1]
+        kern(x_ref, *refs[:-2], y_ref=y_ref, mom_ref=mom_ref)
+
+    y, mom = pl.pallas_call(
+        body,
+        grid=(B,),
+        in_specs=[_plane_spec(H, L)]
+        + [_const_spec((in_lanes, 128))] * len(maps)
+        + [_const_spec((1, 128)), _const_spec((128, 128))],
+        out_specs=[_plane_spec(n_phase * H, L2), _const_spec((2, 128))],
+        out_shape=[jax.ShapeDtypeStruct((B, n_phase * H, L2), out_dtype),
+                   jax.ShapeDtypeStruct((2, 128), jnp.float32)],
+        interpret=interpret,
+    )(x, *maps, btile, sel)
+    return y, mom
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+def lane_maps_op(x, maps, btile, plan: Plan, in_lanes: int, n_phase: int,
+                 C: int, out_dtype=jnp.bfloat16, want_mom: bool = True,
+                 interpret: bool | None = None):
+    """Fused lane-map op: y[b, n*h+i] = sum_maps T(x)[h] @ M + bias.
+
+    Args:
+      x: (B, H, L) packed plane.
+      maps: list of (in_lanes, 128) f32 lane maps (packed_graph._build_maps
+        output, one per plan entry).
+      btile: (1, 128) f32 lane-tiled bias.
+      plan: static ((row_phase, row_shift dh, lane_block_shift), ...) — one
+        entry per map, row phases interleave into the output.
+      in_lanes: map input width (128 * r_in).
+      n_phase: number of output row phases (2 for s2 ConvTranspose).
+      C: output channel count (lane % C) for the BN moment selection.
+      want_mom: also return (2, 128) BatchNorm batch moments of y.
+    Returns:
+      (y (B, n_phase*H, (L/in_lanes)*128), mom (2, 128) f32).
+    """
+    y, mom = _call_fwd(x, list(maps), btile, plan, in_lanes, n_phase, C,
+                       out_dtype, want_mom, _resolve(interpret))
+    return y, mom
+
+
+def _op_fwd(x, maps, btile, plan, in_lanes, n_phase, C, out_dtype, want_mom,
+            interpret):
+    interpret = _resolve(interpret)
+    y, mom = _call_fwd(x, list(maps), btile, plan, in_lanes, n_phase, C,
+                       out_dtype, want_mom, interpret)
+    return (y, mom), (x, y, list(maps))
+
+
+def _op_bwd(plan, in_lanes, n_phase, C, out_dtype, want_mom, interpret,
+            res, cot):
+    x, y, maps = res
+    dy, dmom = cot
+    interpret = _resolve(interpret)
+    B, H, L = x.shape
+    L2 = (L // in_lanes) * 128
+    n_maps = len(maps)
+    sel = _sel128(C)
+    kern = functools.partial(
+        _bwd_kernel, plan=plan, in_lanes=in_lanes, n_phase=n_phase, L2=L2,
+        want_mom=want_mom, interpret=interpret)
+
+    def body(x_ref, y_ref, dy_ref, dmom_ref, *refs):
+        dx_ref = refs[n_maps + 1]
+        dm_refs = refs[n_maps + 2: n_maps + 2 + n_maps]
+        db_ref = refs[-1]
+        kern(x_ref, y_ref, dy_ref, dmom_ref, *refs[:n_maps + 1],
+             dx_ref=dx_ref, dm_refs_out=dm_refs, db_ref=db_ref)
+
+    outs = pl.pallas_call(
+        body,
+        grid=(B,),
+        in_specs=[_plane_spec(H, L), _plane_spec(n_phase * H, L2),
+                  _plane_spec(n_phase * H, L2), _const_spec((2, 128))]
+        + [_const_spec((in_lanes, 128))] * n_maps
+        + [_const_spec((128, 128))],
+        out_specs=[_plane_spec(H, L)]
+        + [_const_spec((in_lanes, 128))] * n_maps
+        + [_const_spec((1, 128))],
+        out_shape=[jax.ShapeDtypeStruct((B, H, L), x.dtype)]
+        + [jax.ShapeDtypeStruct((in_lanes, 128), jnp.float32)] * n_maps
+        + [jax.ShapeDtypeStruct((1, 128), jnp.float32)],
+        interpret=interpret,
+    )(x, y, dy.astype(out_dtype),
+      (dmom if dmom is not None else jnp.zeros((2, 128))).astype(jnp.float32),
+      *maps, sel)
+    dx, dmaps, db = outs[0], list(outs[1:1 + n_maps]), outs[-1]
+    return dx, dmaps, db
+
+
+lane_maps_op.defvjp(_op_fwd, _op_bwd)

@@ -179,3 +179,79 @@ def test_fused_block_shardmap_syncbn(monkeypatch):
             np.testing.assert_allclose(
                 np.asarray(ns_sh[k][s]), np.asarray(ns_full[k][s]),
                 atol=1e-5, rtol=1e-4, err_msg=f"{k}.{s}")
+
+
+def _grad_compare(g_ref, g_fused, gmax_scale=2e-3):
+    flat_ref = {jax.tree_util.keystr(kp): v for kp, v in
+                jax.tree_util.tree_leaves_with_path(g_ref)}
+    gmax = max(float(jnp.abs(v).max())
+               for v in jax.tree_util.tree_leaves(g_ref))
+    for kp, v in jax.tree_util.tree_leaves_with_path(g_fused):
+        key = jax.tree_util.keystr(kp)
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(flat_ref[key]),
+            atol=gmax_scale * gmax, rtol=2e-3, err_msg=key)
+
+
+@pytest.mark.parametrize("cin,cout", [(128, 64), (64, 16)])
+def test_fused_upsampler_matches_jnp(monkeypatch, cin, cout):
+    """UpsamplerBlock via ops/pallas_lanemaps.lane_maps_op vs the pure-jnp
+    packed formulation: forward, BN batch stats, gradients (the real model's
+    up1 128->64 and up2 64->16 shapes, reduced spatially)."""
+    rng = np.random.default_rng(3)
+    B, H = 2, 4
+    W = 256 // cin * 2
+    L = W * cin
+    x = jnp.asarray(rng.normal(0, 1, (B, H, L)).astype(np.float32))
+    params = {
+        "conv": {"kernel": jnp.asarray(
+            rng.normal(0, 0.2, (3, 3, cin, cout)).astype(np.float32)),
+            "bias": jnp.asarray(
+                rng.normal(0, 0.1, (cout,)).astype(np.float32))},
+        "bn": {"scale": jnp.ones(cout) * 1.1, "bias": jnp.ones(cout) * 0.05},
+    }
+    stats = {"bn": {"mean": jnp.zeros(cout), "var": jnp.ones(cout)}}
+
+    def f(p, fused):
+        monkeypatch.setenv("PACKED_FUSED_MAPS", "1" if fused else "0")
+        y, ns = pg.upsampler_packed(x, p, stats, cin=cin, cout=cout,
+                                    train=True, pallas=fused)
+        return jnp.sum(y ** 2), (y, ns)
+
+    (l_ref, (y_ref, ns_ref)), g_ref = jax.value_and_grad(
+        lambda p: f(p, False), has_aux=True)(params)
+    (l_f, (y_f, ns_f)), g_f = jax.value_and_grad(
+        lambda p: f(p, True), has_aux=True)(params)
+
+    np.testing.assert_allclose(float(l_f), float(l_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_ref),
+                               atol=2e-4, rtol=1e-3)
+    for s in ("mean", "var"):
+        np.testing.assert_allclose(np.asarray(ns_f["bn"][s]),
+                                   np.asarray(ns_ref["bn"][s]),
+                                   atol=1e-5, rtol=1e-4)
+    _grad_compare(g_ref, g_f)
+
+
+def test_fused_head_matches_jnp(monkeypatch):
+    """Output ConvTranspose 2x2/s2 head via lane_maps_op vs jnp."""
+    rng = np.random.default_rng(4)
+    cin, cout, B, H, W = 16, 4, 2, 4, 16
+    x = jnp.asarray(rng.normal(0, 1, (B, H, W * cin)).astype(np.float32))
+    params = {"kernel": jnp.asarray(
+        rng.normal(0, 0.2, (2, 2, cin, cout)).astype(np.float32)),
+        "bias": jnp.asarray(rng.normal(0, 0.1, (cout,)).astype(np.float32))}
+
+    def f(p, fused):
+        monkeypatch.setenv("PACKED_FUSED_MAPS", "1" if fused else "0")
+        y = pg.head_packed(x, p, cin=cin, cout=cout, pallas=fused)
+        return jnp.sum(y ** 2), y
+
+    (l_ref, y_ref), g_ref = jax.value_and_grad(
+        lambda p: f(p, False), has_aux=True)(params)
+    (l_f, y_f), g_f = jax.value_and_grad(
+        lambda p: f(p, True), has_aux=True)(params)
+    np.testing.assert_allclose(float(l_f), float(l_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_ref),
+                               atol=2e-4, rtol=1e-3)
+    _grad_compare(g_ref, g_f)
