@@ -448,10 +448,44 @@ def _downsampler_idx(cin: int, cin0: int, cc: int, cout: int):
     return rows, pool
 
 
+def _downsampler_fused(x, params, stats, *, cin, cout, train, axis_name):
+    """DownsamplerBlock via ops/pallas_lanemaps.downsampler_op: strided conv
+    lane maps + maxpool concat + bias + BN moments in one kernel/direction."""
+    from lanedetection_end2end_tpu.ops.pallas_lanemaps import downsampler_op
+    B, H, L = x.shape
+    kern = params["conv"]["kernel"]
+    cin0, cc = kern.shape[2], kern.shape[3]
+    coo_rows, pool_np = _downsampler_idx(cin, cin0, cc, cout)
+    out_lanes = pool_np.shape[1]
+    kflat = kern.reshape(-1)
+    plan, flat = [], []
+    for src, coo in enumerate(coo_rows):  # 0=rm1, 1=r0, 2=r1
+        for shift in sorted(coo):
+            plan.append((src, shift))
+            flat.append(_build_maps({shift: coo[shift]}, kflat, 128,
+                                    out_lanes)[shift])
+    bias = jnp.concatenate([params["conv"]["bias"],
+                            jnp.zeros((cout - cc,),
+                                      params["conv"]["bias"].dtype)])
+    btile = _tile_lane(bias.astype(jnp.float32), out_lanes, cout)[None]
+    y_raw, mom = downsampler_op(x, flat, jnp.asarray(pool_np), btile,
+                                tuple(plan), cin, cout, out_lanes)
+    Lout = y_raw.shape[-1]
+    n = B * (H // 2) * (Lout // cout)
+    mul, add, bn = _bn_mul_add(mom, params["bn"], stats["bn"], cout, n,
+                               train, axis_name)
+    y = y_raw * _tile_lane(mul, Lout, cout).astype(y_raw.dtype) \
+        + _tile_lane(add, Lout, cout).astype(y_raw.dtype)
+    return jax.nn.relu(y), {"bn": bn}
+
+
 def downsampler_packed(x, params: Dict, stats: Dict, *, cin: int, cout: int,
                        train: bool, pallas: bool = False, axis_name=None):
     """x (B, H, W*cin) -> (B, H/2, (W/2)*cout); cin may be padded (RGB 3->4:
     callers pad activations, the kernel's input-channel axis stays cin0)."""
+    if pallas and _fused_maps_on():
+        return _downsampler_fused(x, params, stats, cin=cin, cout=cout,
+                                  train=train, axis_name=axis_name)
     B, H, L = x.shape
     kern = params["conv"]["kernel"]  # (3, 3, cin0, cc)
     cin0, cc = kern.shape[2], kern.shape[3]

@@ -238,3 +238,199 @@ def _op_bwd(plan, in_lanes, n_phase, C, out_dtype, want_mom, interpret,
 
 
 lane_maps_op.defvjp(_op_fwd, _op_bwd)
+
+
+# ----------------------------------------------------------------------
+# DownsamplerBlock (conv3x3/s2 || maxpool2x2 concat, ERFNet.py:11-22)
+# ----------------------------------------------------------------------
+
+def _row_pair(x):
+    """(H, L) -> even rows, odd rows ((H/2, L) each)."""
+    H, L = x.shape
+    xh = x.reshape(H // 2, 2, L)
+    return xh[:, 0], xh[:, 1]
+
+
+def _pool_chain(r0, r1, cin: int, interpret: bool):
+    """maxpool 2x2 with the jnp where-chain's tie routing
+    (packed_graph.upsampler/downsampler comment): row max then w max."""
+    m1 = (r0.astype(jnp.float32) >= r1.astype(jnp.float32))
+    p1 = jnp.where(m1, r0, r1)
+    p1sh = _shift_plane(p1, cin, "w", interpret)
+    m2 = (p1.astype(jnp.float32) >= p1sh.astype(jnp.float32))
+    p = jnp.where(m2, p1, p1sh)
+    return p, p1, p1sh, m1, m2
+
+
+def _ds_fwd_kernel(x_ref, *refs, y_ref, mom_ref, plan, cin, out_lanes,
+                   interpret):
+    m_refs, pool_ref, btile_ref, sel_ref = (refs[:-3], refs[-3], refs[-2],
+                                            refs[-1])
+    x = x_ref[0]
+    r0, r1 = _row_pair(x)
+    rm1 = _shift_plane(r1, -1, "h", interpret)
+    srcs = (rm1, r0, r1)
+    acc = None
+    for (s, wsh), m_ref in zip(plan, m_refs):
+        t = _shifted(srcs[s], 0, wsh, 128, interpret)
+        term = jnp.dot(t.reshape(-1, 128), m_ref[:].astype(x.dtype),
+                       preferred_element_type=jnp.float32)
+        acc = term if acc is None else acc + term
+    p, *_ = _pool_chain(r0, r1, cin, interpret)
+    # pool matrix is a 0/1 selection: each output lane copies exactly one
+    # input, so a bf16 matmul is exact (matches the jnp path's HIGHEST)
+    acc = acc + jnp.dot(p.reshape(-1, 128), pool_ref[:].astype(x.dtype),
+                        preferred_element_type=jnp.float32)
+    y = (acc + btile_ref[:].astype(jnp.float32)).astype(y_ref.dtype)
+    H2 = x.shape[0] // 2
+    y_ref[0] = y.reshape(H2, -1)
+    _accum(mom_ref, _moments(y_ref[0], sel_ref), pl.program_id(0) == 0)
+
+
+def _ds_bwd_kernel(x_ref, y_ref, dy_ref, dmom_ref, *refs, dx_ref,
+                   dm_refs_out, db_ref, plan, cin, out_lanes, interpret):
+    m_refs, pool_ref, sel_ref = refs[:-2], refs[-2], refs[-1]
+    x = x_ref[0]
+    H, L = x.shape
+    H2 = H // 2
+    first = pl.program_id(0) == 0
+    r0, r1 = _row_pair(x)
+    rm1 = _shift_plane(r1, -1, "h", interpret)
+    srcs = (rm1, r0, r1)
+
+    ds1, ds2 = _dmom_rows(dmom_ref, sel_ref)
+    y = y_ref[0]
+    dyv = (dy_ref[0].astype(jnp.float32).reshape(-1, 128) + ds1
+           + 2.0 * y.astype(jnp.float32).reshape(-1, 128) * ds2)
+    _accum(db_ref, jnp.sum(dyv.reshape(-1, out_lanes), axis=0,
+                           keepdims=True), first)
+    dz = dyv.astype(x.dtype).reshape(-1, out_lanes)
+
+    dsrc = [None, None, None]
+    for (s, wsh), m_ref, dm_ref in zip(plan, m_refs, dm_refs_out):
+        t = _shifted(srcs[s], 0, wsh, 128, interpret)
+        dm = jax.lax.dot_general(
+            t.reshape(-1, 128), dz,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        _accum(dm_ref, dm, first)
+        g = jnp.dot(dz, m_ref[:].T.astype(x.dtype),
+                    preferred_element_type=jnp.float32)
+        g = g.astype(x.dtype).reshape(H2, L)
+        g = _shifted(g, 0, -wsh, 128, interpret)
+        dsrc[s] = g if dsrc[s] is None else dsrc[s] + g
+
+    # pool gradient: select-and-scatter along the recomputed where-chain
+    p, p1, p1sh, m1, m2 = _pool_chain(r0, r1, cin, interpret)
+    gp = jnp.dot(dz, pool_ref[:].T.astype(x.dtype),
+                 preferred_element_type=jnp.float32)
+    gp = gp.astype(x.dtype).reshape(H2, L)
+    mf2 = m2.astype(jnp.float32)
+    g_p1 = (gp.astype(jnp.float32) * mf2).astype(x.dtype)
+    g_sh = (gp.astype(jnp.float32) * (1.0 - mf2)).astype(x.dtype)
+    g_p1 = g_p1 + _shift_plane(g_sh, -cin, "w", interpret)
+    mf1 = m1.astype(jnp.float32)
+    g0 = (g_p1.astype(jnp.float32) * mf1).astype(x.dtype)
+    g1 = (g_p1.astype(jnp.float32) * (1.0 - mf1)).astype(x.dtype)
+
+    dr0 = g0 if dsrc[1] is None else dsrc[1] + g0
+    dr1 = g1 if dsrc[2] is None else dsrc[2] + g1
+    if dsrc[0] is not None:  # rm1 = T_{-1,rows}(r1): transpose shifts back
+        dr1 = dr1 + _shift_plane(dsrc[0], 1, "h", interpret)
+
+    dx = jnp.concatenate([dr0.reshape(H2, 1, L), dr1.reshape(H2, 1, L)],
+                         axis=1).reshape(H, L)
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+
+def _ds_call_fwd(x, maps, pool, btile, plan, cin, cout, out_lanes,
+                 interpret):
+    B, H, L = x.shape
+    Lout = (L // 128) * out_lanes
+    sel = _sel128(cout)
+    kern = functools.partial(_ds_fwd_kernel, plan=plan, cin=cin,
+                             out_lanes=out_lanes, interpret=interpret)
+
+    def body(x_ref, *refs):
+        kern(x_ref, *refs[:-2], y_ref=refs[-2], mom_ref=refs[-1])
+
+    return pl.pallas_call(
+        body,
+        grid=(B,),
+        in_specs=[_plane_spec(H, L)]
+        + [_const_spec((128, out_lanes))] * (len(maps) + 1)
+        + [_const_spec((1, out_lanes)), _const_spec((128, 128))],
+        out_specs=[_plane_spec(H // 2, Lout), _const_spec((2, 128))],
+        out_shape=[jax.ShapeDtypeStruct((B, H // 2, Lout), x.dtype),
+                   jax.ShapeDtypeStruct((2, 128), jnp.float32)],
+        interpret=interpret,
+    )(x, *maps, pool, btile, sel)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def downsampler_op(x, maps, pool, btile, plan, cin: int, cout: int,
+                   out_lanes: int, interpret: bool | None = None):
+    """Fused DownsamplerBlock core: strided conv lane maps + maxpool concat
+    + bias + BN batch moments, one pallas_call per direction.
+
+    Args:
+      x: (B, H, L) packed plane (L = W*cin).
+      maps: list of (128, out_lanes) f32 lane maps, one per plan entry.
+      pool: (128, out_lanes) constant 0/1 pool-selection matrix (nondiff).
+      btile: (1, out_lanes) f32 lane-tiled bias (conv channels; pooled
+        channels zero).
+      plan: static ((src, lane_block_shift), ...) with src 0=rm1, 1=r0,
+        2=r1 (the three row taps of the s2 conv).
+    Returns:
+      (y (B, H/2, (L/128)*out_lanes) pre-BN, mom (2, 128) f32).
+    """
+    y, mom = _ds_call_fwd(x, list(maps), pool, btile, plan, cin, cout,
+                          out_lanes, _resolve(interpret))
+    return y, mom
+
+
+def _ds_fwd(x, maps, pool, btile, plan, cin, cout, out_lanes, interpret):
+    interpret = _resolve(interpret)
+    y, mom = _ds_call_fwd(x, list(maps), pool, btile, plan, cin, cout,
+                          out_lanes, interpret)
+    return (y, mom), (x, y, list(maps), pool)
+
+
+def _ds_bwd(plan, cin, cout, out_lanes, interpret, res, cot):
+    x, y, maps, pool = res
+    dy, dmom = cot
+    interpret = _resolve(interpret)
+    B, H, L = x.shape
+    Lout = (L // 128) * out_lanes
+    n_maps = len(maps)
+    sel = _sel128(cout)
+    kern = functools.partial(_ds_bwd_kernel, plan=plan, cin=cin,
+                             out_lanes=out_lanes, interpret=interpret)
+
+    def body(x_ref, y_ref, dy_ref, dmom_ref, *refs):
+        dx_ref = refs[n_maps + 2]
+        dm_refs = refs[n_maps + 3: n_maps + 3 + n_maps]
+        db_ref = refs[-1]
+        kern(x_ref, y_ref, dy_ref, dmom_ref, *refs[:n_maps + 2],
+             dx_ref=dx_ref, dm_refs_out=dm_refs, db_ref=db_ref)
+
+    outs = pl.pallas_call(
+        body,
+        grid=(B,),
+        in_specs=[_plane_spec(H, L), _plane_spec(H // 2, Lout),
+                  _plane_spec(H // 2, Lout), _const_spec((2, 128))]
+        + [_const_spec((128, out_lanes))] * (n_maps + 1)
+        + [_const_spec((128, 128))],
+        out_specs=[_plane_spec(H, L)]
+        + [_const_spec((128, out_lanes))] * n_maps
+        + [_const_spec((1, out_lanes))],
+        out_shape=[jax.ShapeDtypeStruct((B, H, L), x.dtype)]
+        + [jax.ShapeDtypeStruct((128, out_lanes), jnp.float32)] * n_maps
+        + [jax.ShapeDtypeStruct((1, out_lanes), jnp.float32)],
+        interpret=interpret,
+    )(x, y, dy.astype(x.dtype), dmom.astype(jnp.float32), *maps, pool, sel)
+    dx, dmaps, db = outs[0], list(outs[1:1 + n_maps]), outs[-1]
+    return dx, dmaps, None, db
+
+
+downsampler_op.defvjp(_ds_fwd, _ds_bwd)

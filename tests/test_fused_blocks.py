@@ -255,3 +255,51 @@ def test_fused_head_matches_jnp(monkeypatch):
     np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_ref),
                                atol=2e-4, rtol=1e-3)
     _grad_compare(g_ref, g_f)
+
+
+@pytest.mark.parametrize("cin,cin0,cout", [(4, 3, 16), (16, 16, 64),
+                                           (64, 64, 128)])
+def test_fused_downsampler_matches_jnp(monkeypatch, cin, cin0, cout):
+    """DownsamplerBlock via downsampler_op vs jnp: forward, BN stats, grads
+    (the real model's initial/down1/down2 shapes, reduced spatially). The
+    maxpool select-and-scatter gradient must follow the jnp where-chain's
+    exact tie routing."""
+    rng = np.random.default_rng(5)
+    B, H = 2, 8
+    W = 512 // cin
+    L = W * cin
+    cc = cout - cin0
+    xnp = rng.normal(0, 1, (B, H, L)).astype(np.float32)
+    if cin != cin0:  # padded RGB lanes are zero
+        xv = xnp.reshape(B, H, W, cin)
+        xv[..., cin0:] = 0.0
+        xnp = xv.reshape(B, H, L)
+    x = jnp.asarray(xnp)
+    params = {
+        "conv": {"kernel": jnp.asarray(
+            rng.normal(0, 0.2, (3, 3, cin0, cc)).astype(np.float32)),
+            "bias": jnp.asarray(
+                rng.normal(0, 0.1, (cc,)).astype(np.float32))},
+        "bn": {"scale": jnp.ones(cout) * 1.1, "bias": jnp.ones(cout) * 0.05},
+    }
+    stats = {"bn": {"mean": jnp.zeros(cout), "var": jnp.ones(cout)}}
+
+    def f(p, fused):
+        monkeypatch.setenv("PACKED_FUSED_MAPS", "1" if fused else "0")
+        y, ns = pg.downsampler_packed(x, p, stats, cin=cin, cout=cout,
+                                      train=True, pallas=fused)
+        return jnp.sum(y ** 2), (y, ns)
+
+    (l_ref, (y_ref, ns_ref)), g_ref = jax.value_and_grad(
+        lambda p: f(p, False), has_aux=True)(params)
+    (l_f, (y_f, ns_f)), g_f = jax.value_and_grad(
+        lambda p: f(p, True), has_aux=True)(params)
+
+    np.testing.assert_allclose(float(l_f), float(l_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_ref),
+                               atol=2e-4, rtol=1e-3)
+    for s in ("mean", "var"):
+        np.testing.assert_allclose(np.asarray(ns_f["bn"][s]),
+                                   np.asarray(ns_ref["bn"][s]),
+                                   atol=1e-5, rtol=1e-4)
+    _grad_compare(g_ref, g_f)
