@@ -29,6 +29,7 @@ fitter and mask.
 from __future__ import annotations
 
 import dataclasses
+import os
 from math import ceil
 from typing import Any, Optional
 
@@ -237,7 +238,9 @@ class LaneNet:
             variables["batch_stats"]["erfnet"], images,
             out_channels=out_ch, train=train, rng=enc_rng,
             use_main_head=True, dtype=self.dtype,
-            pallas_convs=jax.default_backend() == "tpu",
+            pallas_convs=(jax.default_backend() == "tpu"
+                          if os.environ.get("PACKED_PALLAS") is None
+                          else os.environ["PACKED_PALLAS"] == "1"),
             axis_name=axis_name)
         S0, S1 = rowsums_packed(dec, self._act, self.fitter._sep_xs,
                                 C=out_ch, resize=cfg.resize,
