@@ -224,7 +224,7 @@ class LaneNet:
         (train/steps.py wraps this path per shard because pallas_calls are
         not GSPMD-partitionable); train-mode BN moments are pmean'd over it."""
         from lanedetection_end2end_tpu.ops.packed_graph import (
-            erfnet_packed, rowsums_packed)
+            _fused_maps_on, erfnet_packed, head_plan_maps, rowsums_packed)
         cfg = self.cfg
         assert self.packed_supported(phase), "packed path: unsupported config"
         out_ch = cfg.nclasses if cfg.pretrained else cfg.seg_out_channels
@@ -233,18 +233,49 @@ class LaneNet:
             enc_rng, head_rng = jax.random.split(rng)
         # Pallas conv kernels carry the shift+matmul structure that XLA would
         # otherwise materialize through HBM; pure-jnp fallback off-TPU.
+        pallas_convs = (jax.default_backend() == "tpu"
+                        if os.environ.get("PACKED_PALLAS") is None
+                        else os.environ["PACKED_PALLAS"] == "1")
+        # e2e training never reads the logits (the loss consumes only the
+        # WLS row sums, train/steps.py:196-229): fuse head + activation +
+        # mask + row sums so the full-res plane never reaches HBM.
+        fuse_tail = (pallas_convs and _fused_maps_on() and train
+                     and phase == "e2e" and cfg.activation_layer == "square")
         enc, dec, new_erf_stats = erfnet_packed(
             variables["params"]["erfnet"],
             variables["batch_stats"]["erfnet"], images,
             out_channels=out_ch, train=train, rng=enc_rng,
             use_main_head=True, dtype=self.dtype,
-            pallas_convs=(jax.default_backend() == "tpu"
-                          if os.environ.get("PACKED_PALLAS") is None
-                          else os.environ["PACKED_PALLAS"] == "1"),
-            axis_name=axis_name)
-        S0, S1 = rowsums_packed(dec, self._act, self.fitter._sep_xs,
-                                C=out_ch, resize=cfg.resize,
-                                mask_percentage=cfg.mask_percentage)
+            pallas_convs=pallas_convs,
+            axis_name=axis_name, skip_head=fuse_tail)
+        if fuse_tail:
+            from math import ceil as _ceil
+            from lanedetection_end2end_tpu.ops.packed_graph import (
+                _chan_select)
+            from lanedetection_end2end_tpu.ops.pallas_lanemaps import (
+                head_rowsums_op)
+            head_params = variables["params"]["erfnet"]["decoder"][
+                "output_conv"]
+            plan, maps, btile, in_lanes, out_lanes = head_plan_maps(
+                head_params, 16, out_ch)
+            assert out_lanes == 128, out_lanes
+            L2 = (dec.shape[-1] // in_lanes) * 128
+            xs = jnp.asarray(np.repeat(np.asarray(self.fitter._sep_xs),
+                                       out_ch)[None, :], jnp.float32)
+            sel = jnp.zeros((128, 128), jnp.float32).at[:, :out_ch].set(
+                jnp.asarray(_chan_select(out_ch)))
+            red = jnp.asarray(
+                np.tile(np.eye(128, dtype=np.float32), (L2 // 128, 1)))
+            s = head_rowsums_op(dec, maps, btile, xs, sel, red, plan,
+                                in_lanes,
+                                _ceil(cfg.resize * cfg.mask_percentage))
+            S0 = s[:, :, :out_ch].transpose(0, 2, 1)
+            S1 = s[:, :, 128:128 + out_ch].transpose(0, 2, 1)
+            dec = None
+        else:
+            S0, S1 = rowsums_packed(dec, self._act, self.fitter._sep_xs,
+                                    C=out_ch, resize=cfg.resize,
+                                    mask_percentage=cfg.mask_percentage)
         beta = self.fitter.beta_from_rowsums(S0, S1)
 
         line = horizon = None
@@ -268,8 +299,11 @@ class LaneNet:
                     line = out
                 else:
                     horizon = out
-        B, H = dec.shape[0], dec.shape[1]
-        seg_logits = dec.reshape(B, H, -1, out_ch)  # NHWC view (DCE'd if unused)
+        if dec is None:  # fused head+rowsums tail: logits never materialized
+            seg_logits = None
+        else:
+            B, H = dec.shape[0], dec.shape[1]
+            seg_logits = dec.reshape(B, H, -1, out_ch)  # NHWC view (DCE'd if unused)
         res = LaneNetOutput(beta, None, seg_logits, line, horizon, enc)
         if mutable:
             return res, {"batch_stats": new_stats}

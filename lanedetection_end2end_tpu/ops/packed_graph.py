@@ -672,6 +672,23 @@ def _head_idx(cin: int, cout: int):
     return maps, r_in, out_lanes
 
 
+def head_plan_maps(params: Dict, cin: int, cout: int):
+    """(plan, maps, btile, in_lanes, out_lanes) of the output head for the
+    fused lane-map kernels (maps built from the learnable kernel, so grads
+    flow through the COO scatter)."""
+    coo, r_in, out_lanes = _head_idx(cin, cout)
+    in_lanes = 128 * r_in
+    kflat = params["kernel"].reshape(-1)
+    plan, flat = [], []
+    for i in sorted(coo):
+        for shift in sorted(coo[i]):
+            plan.append((i, 0, shift))
+            flat.append(_build_maps({shift: coo[i][shift]}, kflat,
+                                    in_lanes, out_lanes)[shift])
+    btile = _tile_lane(params["bias"].astype(jnp.float32), 128, cout)[None]
+    return tuple(plan), flat, btile, in_lanes, out_lanes
+
+
 def head_packed(x, params: Dict, *, cin: int, cout: int,
                 pallas: bool = False):
     """x (B, H, W*cin) -> (B, 2H, 2W*cout) f32 logits."""
@@ -680,17 +697,8 @@ def head_packed(x, params: Dict, *, cin: int, cout: int,
     if pallas and out_lanes == 128 and _fused_maps_on():
         from lanedetection_end2end_tpu.ops.pallas_lanemaps import \
             lane_maps_op
-        in_lanes = 128 * r_in
-        kflat = params["kernel"].reshape(-1)
-        plan, flat = [], []
-        for i in sorted(coo):
-            for shift in sorted(coo[i]):
-                plan.append((i, 0, shift))
-                flat.append(_build_maps({shift: coo[i][shift]}, kflat,
-                                        in_lanes, out_lanes)[shift])
-        btile = _tile_lane(params["bias"].astype(jnp.float32),
-                           128, cout)[None]
-        y, _ = lane_maps_op(x, flat, btile, tuple(plan), in_lanes, 2,
+        plan, flat, btile, in_lanes, _ = head_plan_maps(params, cin, cout)
+        y, _ = lane_maps_op(x, flat, btile, plan, in_lanes, 2,
                             cout, jnp.float32, False)
         return y
     kflat = params["kernel"].reshape(-1)
@@ -712,13 +720,15 @@ def erfnet_packed(params: Dict, stats: Dict, images, *, out_channels: int,
                   train: bool, rng=None, use_main_head: bool = True,
                   dropout_1: float = 0.03, dropout_2: float = 0.3,
                   dtype=jnp.bfloat16, pallas_convs: bool = False,
-                  axis_name=None):
+                  axis_name=None, skip_head: bool = False):
     """Packed twin of ERFNet.__call__ (models/erfnet.py:178-194).
 
     Args:
       params/stats: the `erfnet` subtrees of the flax variables.
       images: (B, H, W, 3) NHWC input.
       use_main_head: selects output_conv vs output_conv2 (pretrain dual head).
+      skip_head: return the pre-head plane (B, H/2, W/2*16) instead of the
+        logits — for callers fusing the head downstream (head_rowsums_op).
     Returns:
       (enc NHWC (B, H/8, W/8, 128), dec_packed (B, H, W*out_ch) f32 logits,
        new_stats tree mirroring `stats`).
@@ -775,13 +785,14 @@ def erfnet_packed(params: Dict, stats: Dict, images, *, out_channels: int,
                                        train=train, drop=0.0, rng=None,
                                        pallas=pallas_convs,
                                        axis_name=axis_name)
-    head_name = "output_conv" if use_main_head else "output_conv2"
-    dec = head_packed(y, dp[head_name], cin=16, cout=out_channels,
-                      pallas=pallas_convs)
-
     new_stats = dict(stats)
     new_stats["encoder"] = {**es, **new_enc}
     new_stats["decoder"] = {**ds, **new_dec}
+    if skip_head:
+        return enc, y, new_stats
+    head_name = "output_conv" if use_main_head else "output_conv2"
+    dec = head_packed(y, dp[head_name], cin=16, cout=out_channels,
+                      pallas=pallas_convs)
     return enc, dec, new_stats
 
 

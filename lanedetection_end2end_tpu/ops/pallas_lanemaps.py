@@ -434,3 +434,181 @@ def _ds_bwd(plan, cin, cout, out_lanes, interpret, res, cot):
 
 
 downsampler_op.defvjp(_ds_fwd, _ds_bwd)
+
+
+# ----------------------------------------------------------------------
+# Output head + activation + row mask + WLS row sums, one kernel (e2e)
+# ----------------------------------------------------------------------
+
+def _hr_sums(w2, xs_row, sel_ref, red_ref, H):
+    z = w2.reshape(-1, 128)
+    p = jnp.dot(z, sel_ref[:], preferred_element_type=jnp.float32)
+    s = jnp.dot(p.reshape(H, -1), red_ref[:],
+                preferred_element_type=jnp.float32)
+    zx = (w2 * xs_row).reshape(-1, 128)
+    px = jnp.dot(zx, sel_ref[:], preferred_element_type=jnp.float32)
+    sx = jnp.dot(px.reshape(H, -1), red_ref[:],
+                 preferred_element_type=jnp.float32)
+    return jnp.concatenate([s, sx], axis=1)  # (H, 256)
+
+
+def _hr_fwd_kernel(x_ref, *refs, s_ref, plan, in_lanes, L2, zero_rows,
+                   interpret):
+    m_refs = refs[:-4]
+    btile_ref, xs_ref, sel_ref, red_ref = refs[-4:]
+    x = x_ref[0]
+    H2 = x.shape[0]
+    ps = _phase_planes(x, m_refs, btile_ref, plan, in_lanes, 2, interpret)
+    dec = _interleave(ps, H2, L2, jnp.float32)  # (H, L2) f32 logits
+    H = 2 * H2
+    a = dec * dec
+    w2 = a * a  # square activation: (dec^2)^2
+    row = jax.lax.broadcasted_iota(jnp.int32, (H, L2), 0)
+    w2 = jnp.where(row < zero_rows, 0.0, w2)
+    s_ref[0] = _hr_sums(w2, xs_ref[:], sel_ref, red_ref, H)
+
+
+def _hr_bwd_kernel(x_ref, ds_ref, *refs, dx_ref, dm_refs_out, db_ref, plan,
+                   in_lanes, L2, zero_rows, interpret):
+    m_refs = refs[:-4]
+    btile_ref, xs_ref, sel_ref, red_ref = refs[-4:]
+    x = x_ref[0]
+    H2, L = x.shape
+    H = 2 * H2
+    first = pl.program_id(0) == 0
+
+    # recompute dec (2 map matmuls — cheaper than stashing the f32 plane)
+    ps = _phase_planes(x, m_refs, btile_ref, plan, in_lanes, 2, interpret)
+    dec = _interleave(ps, H2, L2, jnp.float32)
+
+    ds = ds_ref[0]  # (H, 256)
+    gS0, gS1 = ds[:, :128], ds[:, 128:]
+    nblk = L2 // 128
+    # transpose of the two reduction matmuls
+    g0 = jnp.dot(jnp.dot(gS0, red_ref[:].T,
+                         preferred_element_type=jnp.float32
+                         ).reshape(-1, 128), sel_ref[:].T,
+                 preferred_element_type=jnp.float32).reshape(H, L2)
+    g1 = jnp.dot(jnp.dot(gS1, red_ref[:].T,
+                         preferred_element_type=jnp.float32
+                         ).reshape(-1, 128), sel_ref[:].T,
+                 preferred_element_type=jnp.float32).reshape(H, L2)
+    dw2 = g0 + xs_ref[:] * g1
+    row = jax.lax.broadcasted_iota(jnp.int32, (H, L2), 0)
+    dw2 = jnp.where(row < zero_rows, 0.0, dw2)
+    ddec = 4.0 * dec * dec * dec * dw2  # d((dec^2)^2) = 4 dec^3
+
+    _accum(db_ref, jnp.sum(ddec.reshape(-1, 128), axis=0, keepdims=True),
+           first)
+    dps = [ddec.reshape(H2, 2, L2)[:, i].astype(x.dtype) for i in (0, 1)]
+    dx = None
+    for (i, dh, wsh), m_ref, dm_ref in zip(plan, m_refs, dm_refs_out):
+        dp2 = dps[i].reshape(-1, 128)
+        t = _shifted(x, dh, wsh, in_lanes, interpret)
+        dm = jax.lax.dot_general(
+            t.reshape(-1, in_lanes), dp2,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        _accum(dm_ref, dm, first)
+        g = jnp.dot(dp2, m_ref[:].T.astype(x.dtype),
+                    preferred_element_type=jnp.float32)
+        g = g.astype(x.dtype).reshape(H2, L)
+        g = _shifted(g, 0, -wsh, in_lanes, interpret)
+        if dh:
+            g = _shift_plane(g, -dh, "h", interpret)
+        dx = g if dx is None else dx + g
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+
+def _hr_call_fwd(x, maps, btile, xs, sel, red, plan, in_lanes, zero_rows,
+                 interpret):
+    B, H2, L = x.shape
+    L2 = (L // in_lanes) * 128
+    H = 2 * H2
+    kern = functools.partial(_hr_fwd_kernel, plan=plan, in_lanes=in_lanes,
+                             L2=L2, zero_rows=zero_rows, interpret=interpret)
+
+    def body(x_ref, *refs):
+        kern(x_ref, *refs[:-1], s_ref=refs[-1])
+
+    return pl.pallas_call(
+        body,
+        grid=(B,),
+        in_specs=[_plane_spec(H2, L)]
+        + [_const_spec((in_lanes, 128))] * len(maps)
+        + [_const_spec((1, 128)), _const_spec((1, L2)),
+           _const_spec((128, 128)), _const_spec((L2, 128))],
+        out_specs=[_plane_spec(H, 256)],
+        out_shape=[jax.ShapeDtypeStruct((B, H, 256), jnp.float32)],
+        interpret=interpret,
+    )(x, *maps, btile, xs, sel, red)[0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def head_rowsums_op(x, maps, btile, xs, sel, red, plan, in_lanes: int,
+                    zero_rows: int, interpret: bool | None = None):
+    """Output ConvTranspose head + square activation + top-row mask + WLS
+    row sums, fused: the full-resolution logits plane never reaches HBM.
+
+    Only valid for activation='square' (the flagship config,
+    LSQ_layer.py:51-52); callers fall back to head_packed + rowsums_packed
+    otherwise.
+
+    Args:
+      x: (B, H/2, W/2*16) pre-head plane.
+      maps/btile: head lane maps (plan as in lane_maps_op) and bias.
+      xs: (1, W*C) lane-tiled normalized column coordinate.
+      sel/red: the serving-path reduction constants
+        (models/fused_graph.py pack_decoder): channel selection and
+        per-row block reduction, both 0/1 — exact in f32 dots.
+    Returns:
+      S (B, H, 256) f32: lanes [0,C) = S0 rows, [128, 128+C) = S1 rows.
+    """
+    return _hr_call_fwd(x, list(maps), btile, xs, sel, red, plan, in_lanes,
+                        zero_rows, _resolve(interpret))
+
+
+def _hr_fwd(x, maps, btile, xs, sel, red, plan, in_lanes, zero_rows,
+            interpret):
+    s = _hr_call_fwd(x, list(maps), btile, xs, sel, red, plan, in_lanes,
+                     zero_rows, _resolve(interpret))
+    return s, (x, list(maps), btile, xs, sel, red)
+
+
+def _hr_bwd(plan, in_lanes, zero_rows, interpret, res, ds):
+    x, maps, btile, xs, sel, red = res
+    interpret = _resolve(interpret)
+    B, H2, L = x.shape
+    L2 = (L // in_lanes) * 128
+    H = 2 * H2
+    n_maps = len(maps)
+    kern = functools.partial(_hr_bwd_kernel, plan=plan, in_lanes=in_lanes,
+                             L2=L2, zero_rows=zero_rows, interpret=interpret)
+
+    def body(x_ref, ds_ref, *refs):
+        dx_ref = refs[n_maps + 4]
+        dm_refs = refs[n_maps + 5: n_maps + 5 + n_maps]
+        db_ref = refs[-1]
+        kern(x_ref, ds_ref, *refs[:n_maps + 4], dx_ref=dx_ref,
+             dm_refs_out=dm_refs, db_ref=db_ref)
+
+    outs = pl.pallas_call(
+        body,
+        grid=(B,),
+        in_specs=[_plane_spec(H2, L), _plane_spec(H, 256)]
+        + [_const_spec((in_lanes, 128))] * n_maps
+        + [_const_spec((1, 128)), _const_spec((1, L2)),
+           _const_spec((128, 128)), _const_spec((L2, 128))],
+        out_specs=[_plane_spec(H2, L)]
+        + [_const_spec((in_lanes, 128))] * n_maps
+        + [_const_spec((1, 128))],
+        out_shape=[jax.ShapeDtypeStruct((B, H2, L), x.dtype)]
+        + [jax.ShapeDtypeStruct((in_lanes, 128), jnp.float32)] * n_maps
+        + [jax.ShapeDtypeStruct((1, 128), jnp.float32)],
+        interpret=interpret,
+    )(x, ds.astype(jnp.float32), *maps, btile, xs, sel, red)
+    dx, dmaps, db = outs[0], list(outs[1:1 + n_maps]), outs[-1]
+    return dx, dmaps, db, None, None, None
+
+
+head_rowsums_op.defvjp(_hr_fwd, _hr_bwd)

@@ -303,3 +303,45 @@ def test_fused_downsampler_matches_jnp(monkeypatch, cin, cin0, cout):
                                    np.asarray(ns_ref["bn"][s]),
                                    atol=1e-5, rtol=1e-4)
     _grad_compare(g_ref, g_f)
+
+
+def test_fused_head_rowsums_tail(monkeypatch):
+    """apply_packed's fused e2e tail (head + square activation + row mask +
+    WLS row sums in one kernel, logits never materialized) vs the unfused
+    packed path: beta and input/param gradients."""
+    from lanedetection_end2end_tpu.config import train_sh_config
+    from lanedetection_end2end_tpu.models import LaneNet
+
+    cfg = train_sh_config(resize=32, batch_size=2, reg_ls=1.0,
+                          packed_train=True)
+    net = LaneNet(cfg, dtype=jnp.float32)
+    v = net.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 64, 3))
+
+    def run(fused):
+        monkeypatch.setenv("PACKED_PALLAS", "1" if fused else "0")
+        monkeypatch.setenv("PACKED_FUSED_BLOCKS", "1" if fused else "0")
+
+        def f(params):
+            out = net.apply_packed({**v, "params": params}, x, phase="e2e",
+                                   train=True, rng=None)
+            return jnp.sum(out.beta ** 2), out.beta
+        return jax.value_and_grad(f, has_aux=True)(v["params"])
+
+    (l_ref, beta_ref), g_ref = run(False)
+    (l_f, beta_f), g_f = run(True)
+    assert (beta_f is not None) and (beta_ref is not None)
+    np.testing.assert_allclose(float(l_f), float(l_ref), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(beta_f), np.asarray(beta_ref),
+                               atol=1e-4, rtol=1e-3)
+    # gradients: direction + magnitude (elementwise equality is unattainable
+    # between two numerical paths through relu/maxpool decision boundaries —
+    # same rationale as test_packed_train_step_sharded_matches_single_device)
+    lref = jax.tree_util.tree_leaves(g_ref)
+    lf = jax.tree_util.tree_leaves(g_f)
+    dots = sum(float((np.asarray(a) * np.asarray(b)).sum())
+               for a, b in zip(lref, lf))
+    n1 = np.sqrt(sum(float((np.asarray(a) ** 2).sum()) for a in lref))
+    n2 = np.sqrt(sum(float((np.asarray(a) ** 2).sum()) for a in lf))
+    assert dots / (n1 * n2) > 0.999, dots / (n1 * n2)
+    assert 0.98 < n1 / n2 < 1.02, n1 / n2
