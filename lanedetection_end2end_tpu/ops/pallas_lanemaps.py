@@ -31,7 +31,7 @@ MXU, f32 accumulation, bf16 plane between map ops, f32 moments.
 from __future__ import annotations
 
 import functools
-from typing import List, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -483,7 +483,6 @@ def _hr_bwd_kernel(x_ref, ds_ref, *refs, dx_ref, dm_refs_out, db_ref, plan,
 
     ds = ds_ref[0]  # (H, 256)
     gS0, gS1 = ds[:, :128], ds[:, 128:]
-    nblk = L2 // 128
     # transpose of the two reduction matmuls
     g0 = jnp.dot(jnp.dot(gS0, red_ref[:].T,
                          preferred_element_type=jnp.float32
