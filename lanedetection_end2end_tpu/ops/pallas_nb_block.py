@@ -116,44 +116,68 @@ def _accum(ref, value, first):
 # Half A: conv3x1 + relu + conv1x3 + moments
 # ----------------------------------------------------------------------
 
+def _pair(B: int) -> int:
+    """Images per grid step (env PACKED_PAIR, default 1): P independent
+    MXU/VPU chains per program for Mosaic to interleave — one image's
+    serial conv->epilogue chain leaves units idle that another's fills."""
+    import os
+    P = int(os.environ.get("PACKED_PAIR", "1"))
+    while P > 1 and B % P:
+        P -= 1
+    return max(P, 1)
+
+
 def _half_a_fwd_kernel(x_ref, kh_ref, bh_ref, kw_ref, bw_ref, sel_ref,
-                       y2_ref, y1_ref, mom_ref, *, sw, interpret):
-    x = x_ref[0]
-    H, L = x.shape
-    a = _conv(x, kh_ref, (-1, 0, 1), "h", interpret)
-    y1 = jnp.maximum(a + bh_ref[:].astype(jnp.float32), 0.0
-                     ).astype(x.dtype).reshape(H, L)
-    b = _conv(y1, kw_ref, (-sw, 0, sw), "w", interpret)
-    y2 = (b + bw_ref[:].astype(jnp.float32)).astype(x.dtype).reshape(H, L)
-    y1_ref[0] = y1
-    y2_ref[0] = y2
-    _accum(mom_ref, _moments(y2, sel_ref), pl.program_id(0) == 0)
+                       y2_ref, y1_ref, mom_ref, *, sw, P, interpret):
+    mom = None
+    for i in range(P):
+        x = x_ref[i]
+        H, L = x.shape
+        a = _conv(x, kh_ref, (-1, 0, 1), "h", interpret)
+        y1 = jnp.maximum(a + bh_ref[:].astype(jnp.float32), 0.0
+                         ).astype(x.dtype).reshape(H, L)
+        b = _conv(y1, kw_ref, (-sw, 0, sw), "w", interpret)
+        y2 = (b + bw_ref[:].astype(jnp.float32)).astype(x.dtype).reshape(H, L)
+        y1_ref[i] = y1
+        y2_ref[i] = y2
+        m = _moments(y2, sel_ref)
+        mom = m if mom is None else mom + m
+    _accum(mom_ref, mom, pl.program_id(0) == 0)
 
 
 def _half_a_bwd_kernel(x_ref, y1_ref, y2_ref, dy2_ref, dmom_ref,
                        kh_ref, kw_ref, sel_ref,
                        dx_ref, dkh_ref, dbh_ref, dkw_ref, dbw_ref, *,
-                       sw, interpret):
-    x = x_ref[0]
-    y1 = y1_ref[0]
-    y2 = y2_ref[0]
-    H, L = x.shape
+                       sw, P, interpret):
     first = pl.program_id(0) == 0
     ds1, ds2 = _dmom_rows(dmom_ref, sel_ref)  # (1, 128) lane rows
-    dy2v = (dy2_ref[0].astype(jnp.float32).reshape(-1, 128) + ds1
-            + 2.0 * y2.astype(jnp.float32).reshape(-1, 128) * ds2)
-    dy2 = dy2v.astype(x.dtype).reshape(H, L)
-    dz2 = dy2.reshape(-1, 128)
-    _accum(dbw_ref, jnp.sum(dy2v, axis=0, keepdims=True), first)
-    _accum(dkw_ref, _wgrad(y1, dz2, (-sw, 0, sw), "w", interpret), first)
-    dy1 = _conv_t(dy2, kw_ref, (-sw, 0, sw), "w", interpret)
-    dy1f = dy1 * _relu_mask(y1, jnp.float32).reshape(-1, 128)
-    dy1 = dy1f.astype(x.dtype).reshape(H, L)
-    _accum(dbh_ref, jnp.sum(dy1f, axis=0, keepdims=True), first)
-    _accum(dkh_ref, _wgrad(x, dy1.reshape(-1, 128), (-1, 0, 1), "h",
-                           interpret), first)
-    dx = _conv_t(dy1, kh_ref, (-1, 0, 1), "h", interpret)
-    dx_ref[0] = dx.astype(dx_ref.dtype).reshape(H, L)
+    dbw = dbh = dkw = dkh = None
+    for i in range(P):
+        x = x_ref[i]
+        y1 = y1_ref[i]
+        y2 = y2_ref[i]
+        H, L = x.shape
+        dy2v = (dy2_ref[i].astype(jnp.float32).reshape(-1, 128) + ds1
+                + 2.0 * y2.astype(jnp.float32).reshape(-1, 128) * ds2)
+        dy2 = dy2v.astype(x.dtype).reshape(H, L)
+        dz2 = dy2.reshape(-1, 128)
+        t = jnp.sum(dy2v, axis=0, keepdims=True)
+        dbw = t if dbw is None else dbw + t
+        t = _wgrad(y1, dz2, (-sw, 0, sw), "w", interpret)
+        dkw = t if dkw is None else dkw + t
+        dy1 = _conv_t(dy2, kw_ref, (-sw, 0, sw), "w", interpret)
+        dy1f = dy1 * _relu_mask(y1, jnp.float32).reshape(-1, 128)
+        dy1 = dy1f.astype(x.dtype).reshape(H, L)
+        t = jnp.sum(dy1f, axis=0, keepdims=True)
+        dbh = t if dbh is None else dbh + t
+        t = _wgrad(x, dy1.reshape(-1, 128), (-1, 0, 1), "h", interpret)
+        dkh = t if dkh is None else dkh + t
+        dx = _conv_t(dy1, kh_ref, (-1, 0, 1), "h", interpret)
+        dx_ref[i] = dx.astype(dx_ref.dtype).reshape(H, L)
+    _accum(dbw_ref, dbw, first)
+    _accum(dkw_ref, dkw, first)
+    _accum(dbh_ref, dbh, first)
+    _accum(dkh_ref, dkh, first)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
@@ -171,16 +195,23 @@ def nb_half_a(x, kh, bh, kw, bw, sw: int, interpret: bool | None = None):
     return y2, mom
 
 
+def _pspec(P, H, L):
+    return pl.BlockSpec((P, H, L), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
 def _half_a_call(x, kh, bh, kw, bw, sw, interpret):
     B, H, L = x.shape
+    P = _pair(B)
     sel = _sel128(sw_to_C(sw, 1))
     return pl.pallas_call(
-        functools.partial(_half_a_fwd_kernel, sw=sw, interpret=interpret),
-        grid=(B,),
-        in_specs=[_plane_spec(H, L), _const_spec((3, 128, 128)),
+        functools.partial(_half_a_fwd_kernel, sw=sw, P=P,
+                          interpret=interpret),
+        grid=(B // P,),
+        in_specs=[_pspec(P, H, L), _const_spec((3, 128, 128)),
                   _const_spec((1, 128)), _const_spec((3, 128, 128)),
                   _const_spec((1, 128)), _const_spec((128, 128))],
-        out_specs=[_plane_spec(H, L), _plane_spec(H, L),
+        out_specs=[_pspec(P, H, L), _pspec(P, H, L),
                    _const_spec((2, 128))],
         out_shape=[jax.ShapeDtypeStruct((B, H, L), x.dtype),
                    jax.ShapeDtypeStruct((B, H, L), x.dtype),
@@ -200,14 +231,16 @@ def _half_a_bwd(sw, interpret, res, cot):
     dy2, dmom = cot
     interpret = _resolve(interpret)
     B, H, L = x.shape
+    P = _pair(B)
     sel = _sel128(sw_to_C(sw, 1))
     dx, dkh, dbh, dkw, dbw = pl.pallas_call(
-        functools.partial(_half_a_bwd_kernel, sw=sw, interpret=interpret),
-        grid=(B,),
-        in_specs=[_plane_spec(H, L)] * 4
+        functools.partial(_half_a_bwd_kernel, sw=sw, P=P,
+                          interpret=interpret),
+        grid=(B // P,),
+        in_specs=[_pspec(P, H, L)] * 4
         + [_const_spec((2, 128)), _const_spec((3, 128, 128)),
            _const_spec((3, 128, 128)), _const_spec((128, 128))],
-        out_specs=[_plane_spec(H, L), _const_spec((3, 128, 128)),
+        out_specs=[_pspec(P, H, L), _const_spec((3, 128, 128)),
                    _const_spec((1, 128)), _const_spec((3, 128, 128)),
                    _const_spec((1, 128))],
         out_shape=[jax.ShapeDtypeStruct((B, H, L), x.dtype),
@@ -230,55 +263,72 @@ nb_half_a.defvjp(_half_a_fwd, _half_a_bwd)
 
 def _half_b_fwd_kernel(y2_ref, mul_ref, add_ref, kh_ref, bh_ref, kw_ref,
                        bw_ref, sel_ref, y4_ref, y3_ref, mom_ref, *,
-                       sh, sw, interpret):
-    y2 = y2_ref[0]
-    H, L = y2.shape
-    z = jnp.maximum(
-        y2.astype(jnp.float32).reshape(-1, 128) * mul_ref[:] + add_ref[:],
-        0.0).astype(y2.dtype).reshape(H, L)
-    a = _conv(z, kh_ref, (-sh, 0, sh), "h", interpret)
-    y3 = jnp.maximum(a + bh_ref[:].astype(jnp.float32), 0.0
-                     ).astype(y2.dtype).reshape(H, L)
-    b = _conv(y3, kw_ref, (-sw, 0, sw), "w", interpret)
-    y4 = (b + bw_ref[:].astype(jnp.float32)).astype(y2.dtype).reshape(H, L)
-    y3_ref[0] = y3
-    y4_ref[0] = y4
-    _accum(mom_ref, _moments(y4, sel_ref), pl.program_id(0) == 0)
+                       sh, sw, P, interpret):
+    mom = None
+    for i in range(P):
+        y2 = y2_ref[i]
+        H, L = y2.shape
+        z = jnp.maximum(
+            y2.astype(jnp.float32).reshape(-1, 128) * mul_ref[:]
+            + add_ref[:], 0.0).astype(y2.dtype).reshape(H, L)
+        a = _conv(z, kh_ref, (-sh, 0, sh), "h", interpret)
+        y3 = jnp.maximum(a + bh_ref[:].astype(jnp.float32), 0.0
+                         ).astype(y2.dtype).reshape(H, L)
+        b = _conv(y3, kw_ref, (-sw, 0, sw), "w", interpret)
+        y4 = (b + bw_ref[:].astype(jnp.float32)).astype(y2.dtype
+                                                        ).reshape(H, L)
+        y3_ref[i] = y3
+        y4_ref[i] = y4
+        m = _moments(y4, sel_ref)
+        mom = m if mom is None else mom + m
+    _accum(mom_ref, mom, pl.program_id(0) == 0)
 
 
 def _half_b_bwd_kernel(y2_ref, mul_ref, add_ref, y3_ref, y4_ref, dy4_ref,
                        dmom_ref, kh_ref, kw_ref, sel_ref,
                        dy2_ref, dkh_ref, dbh_ref, dkw_ref, dbw_ref,
-                       dmul_ref, dadd_ref, *, sh, sw, interpret):
-    y2 = y2_ref[0]
-    y3 = y3_ref[0]
-    y4 = y4_ref[0]
-    H, L = y2.shape
+                       dmul_ref, dadd_ref, *, sh, sw, P, interpret):
     first = pl.program_id(0) == 0
-    # recompute the prologue (cheaper than a third stashed plane)
-    y2v = y2.astype(jnp.float32).reshape(-1, 128)
-    zf = y2v * mul_ref[:] + add_ref[:]
-    zmask = (zf > 0.0).astype(jnp.float32)
-    z = jnp.maximum(zf, 0.0).astype(y2.dtype).reshape(H, L)
-
     ds1, ds2 = _dmom_rows(dmom_ref, sel_ref)
-    dy4v = (dy4_ref[0].astype(jnp.float32).reshape(-1, 128) + ds1
-            + 2.0 * y4.astype(jnp.float32).reshape(-1, 128) * ds2)
-    dy4 = dy4v.astype(y2.dtype).reshape(H, L)
-    _accum(dbw_ref, jnp.sum(dy4v, axis=0, keepdims=True), first)
-    _accum(dkw_ref, _wgrad(y3, dy4.reshape(-1, 128), (-sw, 0, sw), "w",
-                           interpret), first)
-    dy3 = _conv_t(dy4, kw_ref, (-sw, 0, sw), "w", interpret)
-    dy3f = dy3 * _relu_mask(y3, jnp.float32).reshape(-1, 128)
-    dy3 = dy3f.astype(y2.dtype).reshape(H, L)
-    _accum(dbh_ref, jnp.sum(dy3f, axis=0, keepdims=True), first)
-    _accum(dkh_ref, _wgrad(z, dy3.reshape(-1, 128), (-sh, 0, sh), "h",
-                           interpret), first)
-    dz = _conv_t(dy3, kh_ref, (-sh, 0, sh), "h", interpret)  # (-1, 128)
-    dz = dz * zmask
-    _accum(dmul_ref, jnp.sum(dz * y2v, axis=0, keepdims=True), first)
-    _accum(dadd_ref, jnp.sum(dz, axis=0, keepdims=True), first)
-    dy2_ref[0] = (dz * mul_ref[:]).astype(dy2_ref.dtype).reshape(H, L)
+    dbw = dkw = dbh = dkh = dmul = dadd = None
+
+    def acc(a, t):
+        return t if a is None else a + t
+
+    for i in range(P):
+        y2 = y2_ref[i]
+        y3 = y3_ref[i]
+        y4 = y4_ref[i]
+        H, L = y2.shape
+        # recompute the prologue (cheaper than a third stashed plane)
+        y2v = y2.astype(jnp.float32).reshape(-1, 128)
+        zf = y2v * mul_ref[:] + add_ref[:]
+        zmask = (zf > 0.0).astype(jnp.float32)
+        z = jnp.maximum(zf, 0.0).astype(y2.dtype).reshape(H, L)
+
+        dy4v = (dy4_ref[i].astype(jnp.float32).reshape(-1, 128) + ds1
+                + 2.0 * y4.astype(jnp.float32).reshape(-1, 128) * ds2)
+        dy4 = dy4v.astype(y2.dtype).reshape(H, L)
+        dbw = acc(dbw, jnp.sum(dy4v, axis=0, keepdims=True))
+        dkw = acc(dkw, _wgrad(y3, dy4.reshape(-1, 128), (-sw, 0, sw), "w",
+                              interpret))
+        dy3 = _conv_t(dy4, kw_ref, (-sw, 0, sw), "w", interpret)
+        dy3f = dy3 * _relu_mask(y3, jnp.float32).reshape(-1, 128)
+        dy3 = dy3f.astype(y2.dtype).reshape(H, L)
+        dbh = acc(dbh, jnp.sum(dy3f, axis=0, keepdims=True))
+        dkh = acc(dkh, _wgrad(z, dy3.reshape(-1, 128), (-sh, 0, sh), "h",
+                              interpret))
+        dz = _conv_t(dy3, kh_ref, (-sh, 0, sh), "h", interpret)  # (-1, 128)
+        dz = dz * zmask
+        dmul = acc(dmul, jnp.sum(dz * y2v, axis=0, keepdims=True))
+        dadd = acc(dadd, jnp.sum(dz, axis=0, keepdims=True))
+        dy2_ref[i] = (dz * mul_ref[:]).astype(dy2_ref.dtype).reshape(H, L)
+    _accum(dbw_ref, dbw, first)
+    _accum(dkw_ref, dkw, first)
+    _accum(dbh_ref, dbh, first)
+    _accum(dkh_ref, dkh, first)
+    _accum(dmul_ref, dmul, first)
+    _accum(dadd_ref, dadd, first)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
@@ -300,16 +350,17 @@ def nb_half_b(y2, mul, add, kh, bh, kw, bw, sh: int, sw: int,
 
 def _half_b_call(y2, mul, add, kh, bh, kw, bw, sh, sw, interpret):
     B, H, L = y2.shape
+    P = _pair(B)
     sel = _sel128(sw_to_C(sw, sh))
     return pl.pallas_call(
-        functools.partial(_half_b_fwd_kernel, sh=sh, sw=sw,
+        functools.partial(_half_b_fwd_kernel, sh=sh, sw=sw, P=P,
                           interpret=interpret),
-        grid=(B,),
-        in_specs=[_plane_spec(H, L), _const_spec((1, 128)),
+        grid=(B // P,),
+        in_specs=[_pspec(P, H, L), _const_spec((1, 128)),
                   _const_spec((1, 128)), _const_spec((3, 128, 128)),
                   _const_spec((1, 128)), _const_spec((3, 128, 128)),
                   _const_spec((1, 128)), _const_spec((128, 128))],
-        out_specs=[_plane_spec(H, L), _plane_spec(H, L),
+        out_specs=[_pspec(P, H, L), _pspec(P, H, L),
                    _const_spec((2, 128))],
         out_shape=[jax.ShapeDtypeStruct((B, H, L), y2.dtype),
                    jax.ShapeDtypeStruct((B, H, L), y2.dtype),
@@ -330,17 +381,18 @@ def _half_b_bwd(sh, sw, interpret, res, cot):
     dy4, dmom = cot
     interpret = _resolve(interpret)
     B, H, L = y2.shape
+    P = _pair(B)
     sel = _sel128(sw_to_C(sw, sh))
     dy2, dkh, dbh, dkw, dbw, dmul, dadd = pl.pallas_call(
-        functools.partial(_half_b_bwd_kernel, sh=sh, sw=sw,
+        functools.partial(_half_b_bwd_kernel, sh=sh, sw=sw, P=P,
                           interpret=interpret),
-        grid=(B,),
-        in_specs=[_plane_spec(H, L), _const_spec((1, 128)),
+        grid=(B // P,),
+        in_specs=[_pspec(P, H, L), _const_spec((1, 128)),
                   _const_spec((1, 128))]
-        + [_plane_spec(H, L)] * 3
+        + [_pspec(P, H, L)] * 3
         + [_const_spec((2, 128)), _const_spec((3, 128, 128)),
            _const_spec((3, 128, 128)), _const_spec((128, 128))],
-        out_specs=[_plane_spec(H, L), _const_spec((3, 128, 128)),
+        out_specs=[_pspec(P, H, L), _const_spec((3, 128, 128)),
                    _const_spec((1, 128)), _const_spec((3, 128, 128)),
                    _const_spec((1, 128)), _const_spec((1, 128)),
                    _const_spec((1, 128))],
