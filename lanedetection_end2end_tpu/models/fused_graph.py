@@ -104,20 +104,33 @@ def pack_encoder(variables, cfg: LaneConfig):
     return _flatten_packed(packed)
 
 
-def _encoder_plane(x, c, *, H, W, interpret):
-    """x: (H, W*4) padded-RGB plane -> (H/8, (W/8)*128) encoder features."""
+def _encoder_plane_a(x, c, *, H, W, interpret):
+    """x: (H, W*4) padded-RGB plane -> (H/4, (W/4)*64): initial + down1 +
+    the 5-block NB1D-64 chain."""
     t = body_downsampler(x, c["initial"], H=H, W=W, interpret=interpret)
     H2, W2 = H // 2, W // 2
     t = body_downsampler(t, c["down1"], H=H2, W=W2, interpret=interpret)
     H3, W3 = H2 // 2, W2 // 2
     for name, d in _ENC_NB64:
         t = _nb(t, c[name], H=H3, L=W3 * 64, C=64, d=d, interpret=interpret)
+    return t
+
+
+def _encoder_plane_b(t, c, *, H, W, interpret):
+    """(H/4, (W/4)*64) -> (H/8, (W/8)*128): down2 + dilated NB1D-128 chain."""
+    H3, W3 = H // 4, W // 4
     t = body_downsampler(t, c["down2"], H=H3, W=W3, interpret=interpret)
     H4, W4 = H3 // 2, W3 // 2
     for name, d in _ENC_NB128:
         t = _nb(t, c[name], H=H4, L=W4 * 128, C=128, d=d,
                 interpret=interpret)
-    return t  # (H/8, (W/8)*128)
+    return t
+
+
+def _encoder_plane(x, c, *, H, W, interpret):
+    """x: (H, W*4) padded-RGB plane -> (H/8, (W/8)*128) encoder features."""
+    t = _encoder_plane_a(x, c, H=H, W=W, interpret=interpret)
+    return _encoder_plane_b(t, c, H=H, W=W, interpret=interpret)
 
 
 def _pair_factor(B: int) -> int:
@@ -132,6 +145,47 @@ def _pair_factor(B: int) -> int:
     return max(P, 1)
 
 
+def _split_mode() -> bool:
+    """env NB1D_SPLIT=1: run encoder/decoder as TWO pallas_calls each
+    instead of one. The whole-graph kernels at NB1D_PAIR>=2 exceed the
+    Mosaic compile helper's memory (subprocess SIGKILL); halving the program
+    per kernel makes multi-image interleaving compilable, at the cost of one
+    extra HBM roundtrip of the stage-boundary activations (~1 MB/img)."""
+    import os
+    return os.environ.get("NB1D_SPLIT") == "1"
+
+
+def _plane_call(x, packed_arrays, struct, body, *, Ho, Lo, out_dtype,
+                interpret):
+    """Run `body(plane, consts) -> (Ho, Lo)` per image as one pallas_call.
+
+    x: (B, H, L); all packed constants are passed to the kernel (constant
+    index maps — fetched into VMEM once, not per grid step)."""
+    B, H, L = x.shape
+    P = _pair_factor(B)
+
+    def kernel(x_ref, *refs):
+        out_ref = refs[-1]
+        c = _rebuild(struct, refs[:-1], read=lambda r: r[:])
+        for i in range(P):
+            out_ref[i] = body(x_ref[i], c)
+
+    full = lambda a: pl.BlockSpec(
+        a.shape, lambda b, _n=len(a.shape): (0,) * _n,
+        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // P,),
+        in_specs=[pl.BlockSpec((P, H, L), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM)]
+        + [full(a) for a in packed_arrays],
+        out_specs=pl.BlockSpec((P, Ho, Lo), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Ho, Lo), out_dtype),
+        interpret=interpret,
+    )(x, *packed_arrays)
+
+
 def encoder_fused(images, packed_arrays, struct, cfg: LaneConfig,
                   interpret: bool = False):
     """images: (B, H, W, 3) -> encoder features (B, H/8, W/8, 128)."""
@@ -140,6 +194,19 @@ def encoder_fused(images, packed_arrays, struct, cfg: LaneConfig,
                 ((0, 0), (0, 0), (0, 0), (0, 1)))  # RGB -> 4ch lane packing
     xf = x.reshape(B, H, W * 4)
     Ho, Lo = H // 8, (W // 8) * 128
+    if _split_mode():
+        mid = _plane_call(
+            xf, packed_arrays, struct,
+            lambda p, c: _encoder_plane_a(p, c, H=H, W=W,
+                                          interpret=interpret),
+            Ho=H // 4, Lo=(W // 4) * 64, out_dtype=jnp.bfloat16,
+            interpret=interpret)
+        out = _plane_call(
+            mid, packed_arrays, struct,
+            lambda p, c: _encoder_plane_b(p, c, H=H, W=W,
+                                          interpret=interpret),
+            Ho=Ho, Lo=Lo, out_dtype=jnp.bfloat16, interpret=interpret)
+        return out.reshape(B, Ho, W // 8, 128)
     P = _pair_factor(B)
 
     def kernel(x_ref, *refs):
@@ -211,20 +278,24 @@ def pack_decoder(variables, cfg: LaneConfig, fitter):
     return _flatten_packed(packed)
 
 
-def _decoder_plane(enc, c, *, cfg: LaneConfig, interpret):
-    """enc (H/8, (W/8)*128) -> S (H, 256): [S0 | S1] row sums, channel c in
-    lanes c and 128+c."""
+def _decoder_plane_a(enc, c, *, cfg: LaneConfig, interpret):
+    """enc (H/8, (W/8)*128) -> (H/2, (W/2)*16): up1 + NB1D-64 x2 + up2."""
     H, W = cfg.image_height, cfg.image_width
     H4, W4 = H // 8, W // 8
-    out_ch = cfg.nclasses if cfg.pretrained else cfg.seg_out_channels
-    C = out_ch
-
     t = body_upsampler(enc, c["up1"], H=H4, W=W4, interpret=interpret)
     H3, W3 = H4 * 2, W4 * 2
     for name, d in _DEC_NB64:
         t = _nb(t, c[name], H=H3, L=W3 * 64, C=64, d=d, interpret=interpret)
-    t = body_upsampler(t, c["up2"], H=H3, W=W3, interpret=interpret)
-    H2, W2 = H3 * 2, W3 * 2
+    return body_upsampler(t, c["up2"], H=H3, W=W3, interpret=interpret)
+
+
+def _decoder_plane_b(t, c, *, cfg: LaneConfig, interpret):
+    """(H/2, (W/2)*16) -> S (H, 256): NB1D-16 x2 + head + activation +
+    row mask + WLS row sums ([S0 | S1], channel c in lanes c and 128+c)."""
+    H, W = cfg.image_height, cfg.image_width
+    out_ch = cfg.nclasses if cfg.pretrained else cfg.seg_out_channels
+    C = out_ch
+    H2, W2 = H // 2, W // 2
     for name, d in _DEC_NB16:
         t = _nb(t, c[name], H=H2, L=W2 * 16, C=16, d=d, interpret=interpret)
     dec = body_head(t, c["head"], H=H2, W=W2, interpret=interpret)  # (H, W*C) f32
@@ -266,6 +337,12 @@ def _decoder_plane(enc, c, *, cfg: LaneConfig, interpret):
     return jnp.concatenate([s0, s1], axis=1)  # (H, 256)
 
 
+def _decoder_plane(enc, c, *, cfg: LaneConfig, interpret):
+    """enc (H/8, (W/8)*128) -> S (H, 256) WLS row sums."""
+    t = _decoder_plane_a(enc, c, cfg=cfg, interpret=interpret)
+    return _decoder_plane_b(t, c, cfg=cfg, interpret=interpret)
+
+
 def decoder_fused(enc, packed_arrays, struct, cfg: LaneConfig,
                   interpret: bool = False):
     """enc: (B, H/8, W/8, 128) -> S (B, H, 2*C) WLS row sums [S0 | S1]."""
@@ -273,6 +350,22 @@ def decoder_fused(enc, packed_arrays, struct, cfg: LaneConfig,
     H = cfg.image_height
     out_ch = cfg.nclasses if cfg.pretrained else cfg.seg_out_channels
     encf = enc.reshape(B, H8, W8 * 128)
+
+    if _split_mode():
+        W = cfg.image_width
+        mid = _plane_call(
+            encf, packed_arrays, struct,
+            lambda p, c: _decoder_plane_a(p, c, cfg=cfg,
+                                          interpret=interpret),
+            Ho=H // 2, Lo=(W // 2) * 16, out_dtype=jnp.bfloat16,
+            interpret=interpret)
+        out = _plane_call(
+            mid, packed_arrays, struct,
+            lambda p, c: _decoder_plane_b(p, c, cfg=cfg,
+                                          interpret=interpret),
+            Ho=H, Lo=256, out_dtype=jnp.float32, interpret=interpret)
+        return jnp.concatenate(
+            [out[:, :, :out_ch], out[:, :, 128:128 + out_ch]], axis=-1)
 
     P = _pair_factor(B)
 
