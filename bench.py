@@ -130,15 +130,9 @@ def bench_train(batch_size: int, warmup: int = 3, iters: int = 20) -> list:
     return samples
 
 
-def bench_pipeline(batch_size: int, num_images: int = 96, epochs: int = 4
-                   ) -> list:
-    """Host input-pipeline throughput (img/s): PNG decode -> crop/resize
-    (C++ laneops) -> collate -> sharded device_put, via
-    LaneDataset -> Loader -> DevicePrefetcher. Demonstrates the host feed can
-    sustain the device rate (the pin_memory DataLoader analog it replaces,
-    Birds_Eye_View_Loss/Dataloader/Load_Data_new.py:318-324)."""
+def _bench_dataset(batch_size: int, num_images: int):
     from lanedetection_end2end_tpu.data import (
-        LaneDataset, Loader, DevicePrefetcher, make_synthetic_root)
+        LaneDataset, Loader, make_synthetic_root)
 
     root = os.path.expanduser(f"~/.cache/lanedet_bench_data_{num_images}")
     marker = os.path.join(root, "Labels", "lanes_ordered.json")
@@ -153,10 +147,51 @@ def bench_pipeline(batch_size: int, num_images: int = 96, epochs: int = 4
     ds = LaneDataset("bp", paths["image_dir"], paths["gt_dir"], valid_idx=[],
                      resize=256, nclasses=4, flip_on=True,
                      lanes_file=paths["lanes_file"],
-                     line_file=paths["line_file"], image_dtype="uint8")
+                     line_file=paths["line_file"], image_dtype="uint8",
+                     cache_dir=os.path.join(root, "u8cache"))
     loader = Loader(ds, range(num_images), batch_size, shuffle=True,
                     flip=True, nworkers=int(os.environ.get("BENCH_WORKERS",
                                                            "16")))
+    return ds, loader
+
+
+def pipeline_stage_split(loader, batch_size: int) -> dict:
+    """Per-stage throughput (img/s) of one warm epoch, measured in
+    isolation: decode+labels (dataset fetch), collate, H2D device_put.
+    Names the binding stage of the composed pipeline number."""
+    from lanedetection_end2end_tpu.data.loader import collate
+    ds = loader.dataset
+    n = min(len(loader.indices), 4 * batch_size)
+    t0 = time.perf_counter()
+    samples = [ds.__getitem__(int(i), flip=bool(i % 2))
+               for i in loader.indices[:n]]
+    t_fetch = time.perf_counter() - t0
+    batches = [samples[i:i + batch_size]
+               for i in range(0, n - batch_size + 1, batch_size)]
+    t0 = time.perf_counter()
+    collated = [collate(b) for b in batches]
+    t_collate = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for c in collated:
+        jax.block_until_ready(jax.device_put(c)["image"])
+    t_h2d = time.perf_counter() - t0
+    nb = len(batches) * batch_size
+    return {"fetch_img_s": round(n / t_fetch, 2),
+            "collate_img_s": round(nb / max(t_collate, 1e-9), 2),
+            "h2d_img_s": round(nb / t_h2d, 2)}
+
+
+def bench_pipeline(batch_size: int, num_images: int = 96, epochs: int = 4
+                   ) -> tuple:
+    """Host input-pipeline throughput (img/s): PNG decode -> crop/resize
+    (C++ laneops) -> collate -> sharded device_put, via
+    LaneDataset -> Loader -> DevicePrefetcher. Demonstrates the host feed can
+    sustain the device rate (the pin_memory DataLoader analog it replaces,
+    Birds_Eye_View_Loss/Dataloader/Load_Data_new.py:318-324). Returns
+    (samples, stage_split)."""
+    from lanedetection_end2end_tpu.data import DevicePrefetcher
+
+    ds, loader = _bench_dataset(batch_size, num_images)
     # On 1-core hosts with a remote-tunneled device, background threads only
     # convoy the GIL against the RPC layer; run synchronously there.
     depth = 2 if (os.cpu_count() or 1) > 1 else 0
@@ -173,7 +208,7 @@ def bench_pipeline(batch_size: int, num_images: int = 96, epochs: int = 4
                 jax.block_until_ready(batch["image"])
                 count += batch["image"].shape[0]
         samples.append(count / (time.perf_counter() - t0))
-    return samples
+    return samples, pipeline_stage_split(loader, batch_size)
 
 
 def bench_e2e(batch_size: int, num_images: int = 96, epochs: int = 3) -> list:
@@ -186,8 +221,7 @@ def bench_e2e(batch_size: int, num_images: int = 96, epochs: int = 3) -> list:
     DataLoader+pin_memory loop it replaces
     (Birds_Eye_View_Loss/Dataloader/Load_Data_new.py:318-324,
     main.py:200-270)."""
-    from lanedetection_end2end_tpu.data import (
-        LaneDataset, Loader, DevicePrefetcher, make_synthetic_root)
+    from lanedetection_end2end_tpu.data import DevicePrefetcher
     from lanedetection_end2end_tpu.train import define_optim, make_train_step
     from lanedetection_end2end_tpu.train.state import init_train_state
     from lanedetection_end2end_tpu.models import LaneNet
@@ -204,23 +238,7 @@ def bench_e2e(batch_size: int, num_images: int = 96, epochs: int = 3) -> list:
     state = jax.device_put(init_train_state(variables, tx), jax.devices()[0])
     step = make_train_step(lanenet, cfg, tx, "e2e")
 
-    root = os.path.expanduser(f"~/.cache/lanedet_bench_data_{num_images}")
-    marker = os.path.join(root, "Labels", "lanes_ordered.json")
-    if os.path.exists(marker):
-        paths = {"image_dir": os.path.join(root, "images"),
-                 "gt_dir": os.path.join(root, "ground_truth"),
-                 "lanes_file": marker,
-                 "line_file": os.path.join(root, "Labels", "label_new.json")}
-    else:
-        paths = make_synthetic_root(root, num_train=num_images, num_test=1,
-                                    seed=0)
-    ds = LaneDataset("bp", paths["image_dir"], paths["gt_dir"], valid_idx=[],
-                     resize=256, nclasses=4, flip_on=True,
-                     lanes_file=paths["lanes_file"],
-                     line_file=paths["line_file"], image_dtype="uint8")
-    loader = Loader(ds, range(num_images), batch_size, shuffle=True,
-                    flip=True,
-                    nworkers=int(os.environ.get("BENCH_WORKERS", "16")))
+    ds, loader = _bench_dataset(batch_size, num_images)
     depth = 2 if (os.cpu_count() or 1) > 1 else 0
     rng = jax.random.PRNGKey(1)
     # warmup epoch: compiles (cached from bench_train), image cache, pools
@@ -264,8 +282,9 @@ def main():
         s = bench_train(sweep[-1])
         detail["train"] = {**_stats(s), "batch_size": sweep[-1]}
     if mode in ("pipeline", "all"):
-        s = bench_pipeline(sweep[-1])
-        detail["pipeline"] = {**_stats(s), "batch_size": sweep[-1]}
+        s, stages = bench_pipeline(sweep[-1])
+        detail["pipeline"] = {**_stats(s), "batch_size": sweep[-1],
+                              "stages": stages}
     if mode in ("e2e", "all"):
         s = bench_e2e(sweep[-1])
         detail["e2e"] = {**_stats(s), "batch_size": sweep[-1]}

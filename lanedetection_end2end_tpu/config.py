@@ -86,6 +86,12 @@ class LaneConfig:
     reg_ls: float = 0.0
     no_ortho: bool = False
     mask_percentage: float = 0.3
+    # CLI-parity flag, semantically INERT here: the reference offers two
+    # numerically equivalent SPD solvers (`torch.inverse` vs the Cholesky
+    # GELS path, Backprojection_Loss/Networks/gels.py); this framework's
+    # solve is always the unrolled SPD Cholesky (ops/solve.py::spd_solve),
+    # so both flag values share one code path (ops/wls.py:328-332). Kept
+    # because it participates in `save_id` run naming.
     use_cholesky: bool = False
     activation_net: str = "relu"
 
@@ -133,6 +139,11 @@ class LaneConfig:
     # (geometry/dlt.py) re-derives the BEV matrices end to end. 'bp'
     # profile only (pixel homography).
     learn_homography: bool = False
+    # Opt-in: score the VALIDATION split with TuSimple LaneEval in the 'bp'
+    # profile (the reference only ever LaneEval-scores the test set,
+    # Backprojection_Loss/main.py:389-396 — a BP run without a test set
+    # tracks only val loss). Produces `val_acc` in scalars.jsonl.
+    val_laneeval: bool = False
 
     # ------------------------------------------------------------------
     def __post_init__(self):
@@ -253,7 +264,7 @@ def train_sh_config(**kw) -> LaneConfig:
 _BOOL_STR_FLAGS = {  # flags that use the str2bool convention in the reference
     "pool", "draw_testset", "pretrained", "flip_on", "use_cholesky",
     "end_to_end", "no_mapping", "clas", "cudnn", "no_tb", "use_pallas_wls",
-    "packed_train", "learn_homography",
+    "packed_train", "learn_homography", "val_laneeval",
 }
 _STORE_TRUE_FLAGS = {
     "no_cuda", "no_dropout", "test_mode", "evaluate", "lr_decay", "no_ortho",

@@ -90,7 +90,8 @@ class LaneDataset:
                  line_file: Optional[str] = None,
                  expected_size: Optional[int] = None,
                  cache_images: bool = True,
-                 image_dtype: str = "float32"):
+                 image_dtype: str = "float32",
+                 cache_dir: Optional[str] = None):
         if profile not in ("bev", "bp"):
             raise ValueError(f"unknown profile {profile!r}")
         if image_dtype not in ("float32", "uint8"):
@@ -132,21 +133,47 @@ class LaneDataset:
         # All accesses (including the caching one) serve from the u8
         # quantization so values are identical across epochs.
         self._cache: Optional[Dict[int, tuple]] = {} if cache_images else None
+        # Optional DISK-persistent decoded-u8 cache (np.memmap): cold starts
+        # (a fresh process) read resampled rows straight off the page cache
+        # instead of re-decoding PNG — the first epoch becomes as cheap as a
+        # warm one. Keyed by resize so resolutions don't collide.
+        self._mm_img = self._mm_gt = self._mm_ok = None
+        if cache_dir:
+            os.makedirs(cache_dir, exist_ok=True)
+            n, H, W = len(self.rgb_lst), resize, 2 * resize
+            stem = os.path.join(cache_dir, f"u8cache_{n}x{H}x{W}")
+            mode = "r+" if os.path.exists(stem + ".img") else "w+"
+            self._mm_img = np.memmap(stem + ".img", np.uint8, mode,
+                                     shape=(n, H, W, 3))
+            self._mm_gt = np.memmap(stem + ".gt", np.uint8, mode,
+                                    shape=(n, H, W))
+            self._mm_ok = np.memmap(stem + ".ok", np.uint8, mode, shape=(n,))
 
     def __len__(self) -> int:
         return len(self.rgb_lst)
 
     # ------------------------------------------------------------------
     def _decoded(self, idx: int):
-        """-> (img_u8 (H, W, 3), gt_i32 (H, W) fresh copy), via the cache."""
+        """-> (img_u8 (H, W, 3), gt_i32 (H, W) fresh copy), via the caches
+        (RAM dict, then disk memmap, then PNG decode + resample)."""
         if self._cache is not None:
             hit = self._cache.get(idx)
             if hit is not None:
                 return hit[0], hit[1].astype(np.int32)
+        if self._mm_ok is not None and self._mm_ok[idx]:
+            img_u8 = np.asarray(self._mm_img[idx])
+            gt_u8 = np.asarray(self._mm_gt[idx])
+            if self._cache is not None:
+                self._cache[idx] = (img_u8, gt_u8)
+            return img_u8, gt_u8.astype(np.int32)
         img_path = os.path.join(self.image_dir, self.rgb_lst[idx])
         gt_path = os.path.join(self.gt_dir, self.gt_lst[idx])
         image, gt = _decode_and_resize(img_path, gt_path, self.resize)
         img_u8 = np.clip(image * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        if self._mm_ok is not None:
+            self._mm_img[idx] = img_u8
+            self._mm_gt[idx] = gt.astype(np.uint8)
+            self._mm_ok[idx] = 1
         if self._cache is not None:
             self._cache[idx] = (img_u8, gt.astype(np.uint8))
         return img_u8, gt

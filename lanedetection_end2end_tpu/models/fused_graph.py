@@ -68,6 +68,30 @@ def _rebuild(struct, values, read):
     return struct
 
 
+def _subset(arrays, struct, keys):
+    """Restrict the flattened constants to the top-level struct `keys`.
+
+    Split mode runs each half of the graph as its own pallas_call; each half
+    kernel must only carry the constants its body reads — passing the whole
+    set would keep stage B's weights resident in VMEM during stage A (and
+    vice versa), defeating the point of splitting."""
+    sub_arrays: List[Any] = []
+
+    def walk(node):
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        if (isinstance(node, tuple) and len(node) == 2
+                and node[0] == "__arr__"):
+            sub_arrays.append(arrays[node[1]])
+            return ("__arr__", len(sub_arrays) - 1)
+        return node
+
+    sub_struct = {k: walk(v) for k, v in struct.items() if k in keys}
+    return sub_arrays, sub_struct
+
+
 # ----------------------------------------------------------------------
 # NB1D adapter: dict-packed -> _nb1d_body consts tuple
 # ----------------------------------------------------------------------
@@ -186,6 +210,10 @@ def _plane_call(x, packed_arrays, struct, body, *, Ho, Lo, out_dtype,
     )(x, *packed_arrays)
 
 
+_ENC_A_KEYS = frozenset({"initial", "down1"} | {n for n, _ in _ENC_NB64})
+_ENC_B_KEYS = frozenset({"down2"} | {n for n, _ in _ENC_NB128})
+
+
 def encoder_fused(images, packed_arrays, struct, cfg: LaneConfig,
                   interpret: bool = False):
     """images: (B, H, W, 3) -> encoder features (B, H/8, W/8, 128)."""
@@ -195,41 +223,24 @@ def encoder_fused(images, packed_arrays, struct, cfg: LaneConfig,
     xf = x.reshape(B, H, W * 4)
     Ho, Lo = H // 8, (W // 8) * 128
     if _split_mode():
+        a_arrays, a_struct = _subset(packed_arrays, struct, _ENC_A_KEYS)
+        b_arrays, b_struct = _subset(packed_arrays, struct, _ENC_B_KEYS)
         mid = _plane_call(
-            xf, packed_arrays, struct,
+            xf, a_arrays, a_struct,
             lambda p, c: _encoder_plane_a(p, c, H=H, W=W,
                                           interpret=interpret),
             Ho=H // 4, Lo=(W // 4) * 64, out_dtype=jnp.bfloat16,
             interpret=interpret)
         out = _plane_call(
-            mid, packed_arrays, struct,
+            mid, b_arrays, b_struct,
             lambda p, c: _encoder_plane_b(p, c, H=H, W=W,
                                           interpret=interpret),
             Ho=Ho, Lo=Lo, out_dtype=jnp.bfloat16, interpret=interpret)
-        return out.reshape(B, Ho, W // 8, 128)
-    P = _pair_factor(B)
-
-    def kernel(x_ref, *refs):
-        out_ref = refs[-1]
-        c = _rebuild(struct, refs[:-1], read=lambda r: r[:])
-        for i in range(P):
-            out_ref[i] = _encoder_plane(x_ref[i], c, H=H, W=W,
-                                        interpret=interpret)
-
-    full = lambda a: pl.BlockSpec(
-        a.shape, lambda b, _n=len(a.shape): (0,) * _n,
-        memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        kernel,
-        grid=(B // P,),
-        in_specs=[pl.BlockSpec((P, H, W * 4), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM)]
-        + [full(a) for a in packed_arrays],
-        out_specs=pl.BlockSpec((P, Ho, Lo), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, Ho, Lo), jnp.bfloat16),
-        interpret=interpret,
-    )(xf, *packed_arrays)
+    else:
+        out = _plane_call(
+            xf, packed_arrays, struct,
+            lambda p, c: _encoder_plane(p, c, H=H, W=W, interpret=interpret),
+            Ho=Ho, Lo=Lo, out_dtype=jnp.bfloat16, interpret=interpret)
     return out.reshape(B, Ho, W // 8, 128)
 
 
@@ -343,6 +354,11 @@ def _decoder_plane(enc, c, *, cfg: LaneConfig, interpret):
     return _decoder_plane_b(t, c, cfg=cfg, interpret=interpret)
 
 
+_DEC_A_KEYS = frozenset({"up1", "up2"} | {n for n, _ in _DEC_NB64})
+_DEC_B_KEYS = frozenset({"head", "sel", "red", "xs"}
+                        | {n for n, _ in _DEC_NB16})
+
+
 def decoder_fused(enc, packed_arrays, struct, cfg: LaneConfig,
                   interpret: bool = False):
     """enc: (B, H/8, W/8, 128) -> S (B, H, 2*C) WLS row sums [S0 | S1]."""
@@ -353,43 +369,24 @@ def decoder_fused(enc, packed_arrays, struct, cfg: LaneConfig,
 
     if _split_mode():
         W = cfg.image_width
+        a_arrays, a_struct = _subset(packed_arrays, struct, _DEC_A_KEYS)
+        b_arrays, b_struct = _subset(packed_arrays, struct, _DEC_B_KEYS)
         mid = _plane_call(
-            encf, packed_arrays, struct,
+            encf, a_arrays, a_struct,
             lambda p, c: _decoder_plane_a(p, c, cfg=cfg,
                                           interpret=interpret),
             Ho=H // 2, Lo=(W // 2) * 16, out_dtype=jnp.bfloat16,
             interpret=interpret)
         out = _plane_call(
-            mid, packed_arrays, struct,
+            mid, b_arrays, b_struct,
             lambda p, c: _decoder_plane_b(p, c, cfg=cfg,
                                           interpret=interpret),
             Ho=H, Lo=256, out_dtype=jnp.float32, interpret=interpret)
-        return jnp.concatenate(
-            [out[:, :, :out_ch], out[:, :, 128:128 + out_ch]], axis=-1)
-
-    P = _pair_factor(B)
-
-    def kernel(x_ref, *refs):
-        out_ref = refs[-1]
-        c = _rebuild(struct, refs[:-1], read=lambda r: r[:])
-        for i in range(P):
-            out_ref[i] = _decoder_plane(x_ref[i], c, cfg=cfg,
-                                        interpret=interpret)
-
-    full = lambda a: pl.BlockSpec(
-        a.shape, lambda b, _n=len(a.shape): (0,) * _n,
-        memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        kernel,
-        grid=(B // P,),
-        in_specs=[pl.BlockSpec((P, H8, W8 * 128), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM)]
-        + [full(a) for a in packed_arrays],
-        out_specs=pl.BlockSpec((P, H, 256), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, H, 256), jnp.float32),
-        interpret=interpret,
-    )(encf, *packed_arrays)
+    else:
+        out = _plane_call(
+            encf, packed_arrays, struct,
+            lambda p, c: _decoder_plane(p, c, cfg=cfg, interpret=interpret),
+            Ho=H, Lo=256, out_dtype=jnp.float32, interpret=interpret)
     # lanes 0..C-1 = S0 channels, 128..128+C-1 = S1 channels
     return jnp.concatenate([out[:, :, :out_ch], out[:, :, 128:128 + out_ch]],
                            axis=-1)

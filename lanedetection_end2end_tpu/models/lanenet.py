@@ -300,6 +300,10 @@ class LaneNet:
                 else:
                     horizon = out
         if dec is None:  # fused head+rowsums tail: logits never materialized
+            # Guard the invariant train/steps.py relies on: a seg/skip-phase
+            # caller would consume seg_logits (CE loss), so the tail fusion
+            # that drops them must only ever run in the e2e phase.
+            assert phase == "e2e" and train, (phase, train)
             seg_logits = None
         else:
             B, H = dec.shape[0], dec.shape[1]

@@ -72,6 +72,14 @@ import jax.numpy as jnp
 _BN_EPS = 1e-3
 _BN_MOMENTUM = 0.9
 
+
+def fused_blocks_on() -> bool:
+    """Whether the fused NB1D half-block kernels (ops/pallas_nb_block.py)
+    serve nb1d_packed (env PACKED_FUSED_BLOCKS). Their backward kernels need
+    a raised scoped-VMEM limit at bs32 — train/steps.py passes the matching
+    compiler option when this is on."""
+    return os.environ.get("PACKED_FUSED_BLOCKS", "0") == "1"
+
 # Block inventories (ERFNet.py:66-81, 116-124).
 ENC_NB64 = [(f"nb64_{i}", 1) for i in range(5)]
 ENC_NB128 = [(f"nb128_{j}_d{d}", d) for j in range(2) for d in (2, 4, 8, 16)]
@@ -399,7 +407,7 @@ def nb1d_packed(x, params: Dict, stats: Dict, *, C: int, d: int,
                 axis_name=None):
     """One NonBottleneck1D block on a packed plane. Returns (y, new_stats)."""
     p = params
-    if pallas and os.environ.get("PACKED_FUSED_BLOCKS", "0") == "1":
+    if pallas and fused_blocks_on():
         return _nb1d_fused(x, p, stats, C=C, d=d, train=train, drop=drop,
                            rng=rng, axis_name=axis_name)
     y = conv_h_packed(x, p["conv3x1_1"]["kernel"],
@@ -575,7 +583,7 @@ def _fused_maps_on() -> bool:
     (PACKED_FUSED_MAPS=0/1)."""
     v = os.environ.get("PACKED_FUSED_MAPS")
     if v is None:
-        v = os.environ.get("PACKED_FUSED_BLOCKS", "0")
+        return fused_blocks_on()
     return v == "1"
 
 

@@ -67,13 +67,28 @@ class Trainer:
 
         if use_mesh:
             # the per-step batch must divide evenly over the data axis
-            ndev = cfg.num_devices or len(jax.devices())
+            requested = cfg.num_devices or len(jax.devices())
+            ndev = requested
             while cfg.batch_size % ndev or cfg.effective_val_batch_size % ndev:
                 ndev -= 1
+            if ndev != requested:
+                if cfg.num_devices:
+                    # the user asked for exactly this many devices; silently
+                    # training on fewer would waste the rest of the slice
+                    raise ValueError(
+                        f"batch_size={cfg.batch_size} (val "
+                        f"{cfg.effective_val_batch_size}) does not divide "
+                        f"over the requested num_devices={cfg.num_devices}; "
+                        "pick a divisible batch size or a different mesh")
+                import warnings
+                warnings.warn(
+                    f"mesh REDUCED from {requested} to {ndev} devices so the "
+                    f"batch (train {cfg.batch_size} / val "
+                    f"{cfg.effective_val_batch_size}) divides the data axis "
+                    f"— {requested - ndev} device(s) will sit idle. Set a "
+                    "divisible batch_size or pass num_devices explicitly.",
+                    RuntimeWarning, stacklevel=2)
             self.mesh = make_mesh(ndev)
-            if verbose and ndev != (cfg.num_devices or len(jax.devices())):
-                print(f"mesh reduced to {ndev} devices to divide "
-                      f"batch_size={cfg.batch_size}")
         else:
             self.mesh = None
         import jax.numpy as jnp
@@ -92,6 +107,7 @@ class Trainer:
                                    cfg.lr_decay_iters)
         self._train_steps: Dict[str, callable] = {}
         self._eval_steps: Dict[str, callable] = {}
+        self._val_infer = None  # lazy jitted infer fn for val_laneeval
         self._rng = jax.random.PRNGKey(cfg.seed + 1)
 
         # best-model policy (BEV min exact-area; BP max accuracy)
@@ -200,11 +216,31 @@ class Trainer:
         if phase == "skip":
             phase = "seg"  # reference never validates mid-skip; seg is closest
         step = self.eval_step_for(phase)
+        # Opt-in (--val_laneeval): LaneEval-score the validation split in the
+        # BP profile, so runs without a TuSimple test set still produce an
+        # accuracy curve. The reference only scores the test set
+        # (Backprojection_Loss/main.py:389-396); the scoring math here is the
+        # test path's own jitted infer fn (eval/test_driver.py::make_infer_fn)
+        # run on validation batches, so val_acc and test_acc are comparable.
+        bp_laneeval = (cfg.val_laneeval and cfg.profile == "bp" and cfg.clas
+                       and cfg.end_to_end and phase == "e2e"
+                       and valid_set_labels is not None)
+        if bp_laneeval and self._val_infer is None:
+            from lanedetection_end2end_tpu.eval.projections import Projections
+            from lanedetection_end2end_tpu.eval.test_driver import \
+                make_infer_fn
+            self._val_infer = make_infer_fn(
+                self.lanenet, cfg,
+                Projections(cfg.resize, cfg.order, cfg.no_mapping))
+        lanes_pred_all = []
         meters: Dict[str, AverageMeter] = {}
         records = []
         counter = 0
         for i, batch in enumerate(self._prefetch(valid_loader)):
             metrics, outputs = step(self.state, batch)
+            if bp_laneeval:
+                lanes_pred_all.append(np.asarray(self._val_infer(
+                    self.state.variables, batch["image"])))
             # weight-map dump every 25 validation batches
             # (Birds_Eye_View_Loss/main.py:477-481)
             if (i + 1) % 25 == 0:
@@ -243,6 +279,29 @@ class Trainer:
                 out["acc_seg"] = acc[0]
                 if self.verbose:
                     print("===> Average ACC_SEG on val is {:.8}".format(acc[0]))
+
+        if bp_laneeval and lanes_pred_all:
+            # valid_set_labels are TuSimple gt lines ({lanes, h_samples,
+            # raw_file}, from label_data_all.json) in loader order; padded
+            # final-batch rows are sliced off.
+            lanes = np.concatenate(lanes_pred_all, axis=0)
+            n = min(lanes.shape[0], len(valid_set_labels))
+            gt_path = os.path.join(self.save_path, "validation_gt.json")
+            pred_path = os.path.join(self.save_path,
+                                     "validation_predictions.json")
+            write_json_lines(gt_path, valid_set_labels[:n])
+            preds = []
+            for j in range(n):
+                rec = dict(valid_set_labels[j])
+                rec["lanes"] = np.int_(np.round(lanes[j])).tolist()
+                rec["run_time"] = 20
+                preds.append(rec)
+            write_json_lines(pred_path, preds)
+            acc = LaneEval.bench_one_submit(pred_path, gt_path)
+            out["acc"] = acc[0]
+            if self.verbose:
+                print("===> Average LaneEval ACC on val is {:.8}".format(
+                    acc[0]))
         return out
 
     # ------------------------------------------------------------------

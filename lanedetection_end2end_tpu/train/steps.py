@@ -250,6 +250,20 @@ def make_loss_fn(lanenet, cfg: LaneConfig, phase: str, train: bool,
     return loss_fn
 
 
+def _packed_compiler_options(use_packed: bool):
+    """Per-jit XLA options for the packed TPU train step.
+
+    The fused NB1D half-block backward kernels (ops/pallas_nb_block.py) need
+    ~22 MB of scoped VMEM at bs32 against XLA's 16 MB default; raise the
+    limit for this one program (v5e has 128 MB of VMEM). Passed per-jit
+    because the flag is TPU-only — putting it in XLA_FLAGS kills CPU-backend
+    processes with 'Unknown flag'."""
+    from lanedetection_end2end_tpu.ops.packed_graph import fused_blocks_on
+    if use_packed and fused_blocks_on() and jax.default_backend() == "tpu":
+        return {"xla_tpu_scoped_vmem_limit_kib": "32768"}
+    return None
+
+
 def _mesh_is_sharded(mesh) -> bool:
     return mesh is not None and mesh.devices.size > 1
 
@@ -304,7 +318,8 @@ def make_train_step(lanenet, cfg: LaneConfig, tx, phase: str,
         from jax.sharding import PartitionSpec as P
         step = _shard_map(step, mesh, in_specs=(P(), P("data"), P()),
                           out_specs=(P(), P()))
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    return jax.jit(step, donate_argnums=(0,) if donate else (),
+                   compiler_options=_packed_compiler_options(use_packed))
 
 
 def make_eval_step(lanenet, cfg: LaneConfig, phase: str, mesh=None):
@@ -328,4 +343,4 @@ def make_eval_step(lanenet, cfg: LaneConfig, phase: str, mesh=None):
         from jax.sharding import PartitionSpec as P
         step = _shard_map(step, mesh, in_specs=(P(), P("data")),
                           out_specs=(P(), P("data")))
-    return jax.jit(step)
+    return jax.jit(step, compiler_options=_packed_compiler_options(use_packed))

@@ -12,6 +12,10 @@ Framework additions:
   --synthetic N   generate an N-image synthetic TuSimple-format dataset under
                   save_path (the reference's label blobs are not distributed)
                   and train on it; no --image_dir/--gt_dir needed.
+  --test_only     load the best checkpoint and run ONLY test-set inference +
+                  TuSimple LaneEval scoring — the standalone `test.py`
+                  entry point of the reference (Backprojection_Loss/test.py:23,
+                  invoked there as a separate script); requires --test_dir.
 
 Label files resolve relative to the directory of --json_file exactly like the
 reference's hard-coded 'Labels/*.json' paths (Backprojection_Loss/main.py:81,
@@ -58,16 +62,20 @@ def parse_args(argv=None):
     parser = build_parser(profile)
     parser.add_argument("--synthetic", type=int, default=0,
                         help="generate an N-image synthetic dataset and train on it")
+    parser.add_argument("--test_only", action="store_true",
+                        help="best checkpoint -> test-set inference + LaneEval "
+                             "only (the reference's standalone test.py)")
     ns, _ = parser.parse_known_args(argv)
-    synthetic = ns.synthetic
+    synthetic, test_only = ns.synthetic, ns.test_only
     argv = [a for i, a in enumerate(argv)
-            if a != "--synthetic" and (i == 0 or argv[i - 1] != "--synthetic")]
+            if a not in ("--synthetic", "--test_only")
+            and (i == 0 or argv[i - 1] != "--synthetic")]
     cfg = config_from_args(argv, profile)
-    return cfg, synthetic
+    return cfg, synthetic, test_only
 
 
 def main(argv=None):
-    cfg, synthetic = parse_args(argv)
+    cfg, synthetic, test_only = parse_args(argv)
 
     if synthetic:
         synth_root = os.path.join(cfg.save_path, "synthetic_data")
@@ -145,6 +153,23 @@ def main(argv=None):
         load_valid_set_file_all(valid_idx, validation_set_path,
                                 cfg.image_dir, labels_all)
         valid_set_labels = read_json_lines(validation_set_path)
+
+    if test_only:
+        # Standalone test-set entry (Backprojection_Loss/test.py:23): best
+        # checkpoint -> jitted inference -> test_set_predictions.json ->
+        # LaneEval. No validation pass, no training.
+        if test_loader is None:
+            raise SystemExit("--test_only needs --clas 1 and a --test_dir "
+                             "containing test_label.json")
+        best = best_checkpoint_path(trainer.save_path)
+        if best is None:
+            raise SystemExit(f"no best checkpoint under {trainer.save_path}")
+        print(f"=> loading checkpoint '{best}'")
+        state, _ = load_checkpoint(best, jax.device_get(trainer.state))
+        acc = test_model(test_loader, trainer.lanenet, state.variables, cfg,
+                         save_path=trainer.save_path)
+        print(f"===> TuSimple test accuracy: {acc:.8f}")
+        return {"acc": acc}
 
     if cfg.evaluate:
         best = best_checkpoint_path(trainer.save_path)

@@ -82,3 +82,48 @@ def test_bev_clas_validation_emits_and_scores(tmp_path):
         assert len(r["params"]) == 4 and len(r["params"][0]) == 3
         assert len(r["line_id"]) == 4
         assert len(r["horizon_est"]) == cfg.resize
+
+
+def test_parse_args_strips_framework_flags():
+    """main.py's --synthetic/--test_only additions round-trip without
+    leaking into the reference-parity flag set."""
+    import main as main_mod
+    cfg, synthetic, test_only = main_mod.parse_args(
+        "--profile bp --synthetic 8 --test_only --nclasses 4 --clas 1 "
+        "--order 3".split())
+    assert synthetic == 8 and test_only
+    assert cfg.nclasses == 4 and cfg.clas and cfg.order == 3
+    cfg, synthetic, test_only = main_mod.parse_args(
+        "--profile bp --image_dir /x --gt_dir /y".split())
+    assert synthetic == 0 and not test_only
+
+
+def test_bp_val_laneeval_scores_validation(tmp_path):
+    """--val_laneeval 1 (framework opt-in): the BP profile LaneEval-scores
+    the VALIDATION split, producing an accuracy curve for runs without a
+    TuSimple test set (the reference only scores the test set,
+    Backprojection_Loss/main.py:389-396)."""
+    root = make_synthetic_root(str(tmp_path / "d"), num_train=8, num_test=0,
+                               seed=3)
+    cfg = bp_defaults(resize=32, batch_size=4, val_batch_size=4, nclasses=4,
+                      clas=True, order=3, end_to_end=True,
+                      loss_policy="backproject", reg_ls=1.0,
+                      save_path=str(tmp_path / "run"), print_freq=9999,
+                      num_train=8, val_laneeval=True)
+    valid_idx = [0, 1, 2, 3]
+    ds = LaneDataset("bp", root["image_dir"], root["gt_dir"],
+                     valid_idx=valid_idx, resize=32, nclasses=4,
+                     lanes_file=root["lanes_file"],
+                     line_file=root["line_file"])
+    valid_loader = Loader(ds, valid_idx, 4, shuffle=False)
+    trainer = Trainer(cfg, log_to_file=False, verbose=False)
+    vs_path = str(tmp_path / "validation_set.json")
+    load_valid_set_file_all(valid_idx, vs_path, root["image_dir"],
+                            root["labels_all_file"])
+    labels = read_json_lines(vs_path)
+    metrics = trainer.validate(valid_loader, epoch=0, valid_set_labels=labels)
+    assert "acc" in metrics and 0.0 <= metrics["acc"] <= 1.0
+    # prediction/gt JSON written under the run dir
+    import os
+    assert os.path.exists(os.path.join(trainer.save_path,
+                                       "validation_predictions.json"))

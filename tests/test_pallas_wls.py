@@ -180,12 +180,20 @@ def test_nb1d_chain_matches_sequential():
                                rtol=2e-2, atol=2e-2)
 
 
-@pytest.mark.parametrize("mode", ["blocks", "full"])
-def test_fused_engine_matches_lanenet(mode):
+@pytest.mark.parametrize("mode", ["blocks", "full", "full-split"])
+def test_fused_engine_matches_lanenet(mode, monkeypatch):
     from lanedetection_end2end_tpu.config import train_sh_config
     from lanedetection_end2end_tpu.models import LaneNet
     from lanedetection_end2end_tpu.models.infer_engine import \
         FusedLaneNetEngine
+    if mode == "full-split":
+        # NB1D_SPLIT=1: encoder/decoder each run as TWO pallas_calls with
+        # per-stage constant subsets (models/fused_graph.py::_subset); the
+        # stage-boundary tensor shape/dtype must round-trip exactly.
+        monkeypatch.setenv("NB1D_SPLIT", "1")
+        mode = "full"
+    else:
+        monkeypatch.delenv("NB1D_SPLIT", raising=False)
     cfg = train_sh_config(resize=64, batch_size=2, reg_ls=1.0)
     net = LaneNet(cfg, dtype=jnp.float32)
     v = net.init(jax.random.PRNGKey(0))

@@ -303,3 +303,22 @@ def test_use_pallas_wls_flag_reaches_fitter():
     assert cfg.use_pallas_wls is None
     auto = LaneNet(cfg).fitter.use_pallas
     assert auto == (jax.default_backend() == "tpu")
+
+
+def test_mesh_guardrails(tmp_path):
+    """Indivisible batches must not silently shrink the mesh: an explicit
+    num_devices request hard-errors, an implicit all-devices mesh reduces
+    with a loud RuntimeWarning (train/driver.py)."""
+    with pytest.raises(ValueError, match="does not divide"):
+        Trainer(bp_defaults(resize=32, batch_size=7, nclasses=4, order=3,
+                            end_to_end=True, loss_policy="backproject",
+                            reg_ls=1.0, save_path=str(tmp_path / "a"),
+                            num_devices=8),
+                log_to_file=False, verbose=False)
+    with pytest.warns(RuntimeWarning, match="REDUCED"):
+        t = Trainer(bp_defaults(resize=32, batch_size=7, val_batch_size=7,
+                                nclasses=4, order=3, end_to_end=True,
+                                loss_policy="backproject", reg_ls=1.0,
+                                save_path=str(tmp_path / "b")),
+                    log_to_file=False, verbose=False)
+    assert t.mesh.devices.size == 7
