@@ -123,6 +123,12 @@ class LaneConfig:
     # ---- TPU-native additions (no reference counterpart) ----
     compute_dtype: str = "float32"  # float32 | bfloat16 — backbone compute
     num_devices: int = 0  # 0 = use all local devices for data parallelism
+    # >1: two-level data-parallel mesh ("dcn" across slices x "data" within
+    # a slice over ICI, parallel/mesh.py::make_mesh_2d) — the gradient
+    # all-reduce decomposes into a fat intra-slice phase and one small
+    # cross-slice phase on the data-center network. num_devices (or all
+    # local devices) must divide evenly into num_slices.
+    num_slices: int = 1
     prefetch: int = 2  # device prefetch depth of the input pipeline
     seed: int = 0
     # fused Pallas path for WLS moments: None = auto (on when the backend is

@@ -75,10 +75,12 @@ _BN_MOMENTUM = 0.9
 
 def fused_blocks_on() -> bool:
     """Whether the fused NB1D half-block kernels (ops/pallas_nb_block.py)
-    serve nb1d_packed (env PACKED_FUSED_BLOCKS). Their backward kernels need
-    a raised scoped-VMEM limit at bs32 — train/steps.py passes the matching
-    compiler option when this is on."""
-    return os.environ.get("PACKED_FUSED_BLOCKS", "0") == "1"
+    serve nb1d_packed (env PACKED_FUSED_BLOCKS, default ON). Their backward
+    kernels need a raised scoped-VMEM limit at bs32 — train/steps.py passes
+    the matching compiler option when this is on. Default flipped to 1 after
+    TPU-benching r04: 642 img/s fused vs 565 unfused at bs32 bf16 (+13.5%),
+    interpret-mode parity in tests/test_fused_blocks.py."""
+    return os.environ.get("PACKED_FUSED_BLOCKS", "1") == "1"
 
 # Block inventories (ERFNet.py:66-81, 116-124).
 ENC_NB64 = [(f"nb64_{i}", 1) for i in range(5)]

@@ -42,9 +42,38 @@ def make_mesh(num_devices: int = 0, devices=None) -> Mesh:
     return Mesh(np.array(devices), ("data",))
 
 
+def make_mesh_2d(num_slices: int, devices_per_slice: int = 0,
+                 devices=None) -> Mesh:
+    """Two-level data-parallel mesh: axis "dcn" ACROSS slices (the slow
+    data-center network), axis "data" WITHIN a slice (ICI).
+
+    Still pure DP — batches shard over BOTH axes jointly
+    (`batch_sharding` -> P(("dcn", "data"))) — but the mesh shape tells XLA
+    the interconnect hierarchy, so the gradient all-reduce decomposes into
+    a fat intra-slice phase riding ICI and one small cross-slice phase on
+    DCN (the scaling-book two-level recipe; SURVEY.md §2.3). Device order
+    must place each slice's chips contiguously, which is how multi-slice
+    runtimes enumerate `jax.devices()`.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    per = devices_per_slice or len(devices) // num_slices
+    if num_slices * per > len(devices):
+        raise ValueError(
+            f"mesh {num_slices}x{per} needs {num_slices * per} devices, "
+            f"have {len(devices)}")
+    arr = np.array(devices[:num_slices * per]).reshape(num_slices, per)
+    return Mesh(arr, ("dcn", "data"))
+
+
+def data_axes(mesh: Mesh) -> tuple:
+    """All mesh axis names — the batch axis shards over the full mesh."""
+    return tuple(mesh.axis_names)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Leading (batch) axis split across the mesh's data axis."""
-    return NamedSharding(mesh, P("data"))
+    """Leading (batch) axis split across ALL mesh axes (1-D: P("data");
+    2-level: P(("dcn", "data")))."""
+    return NamedSharding(mesh, P(data_axes(mesh)))
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:

@@ -39,7 +39,7 @@ from lanedetection_end2end_tpu.eval import LaneEval, write_lsq_results
 from lanedetection_end2end_tpu.eval.test_driver import test_model
 from lanedetection_end2end_tpu.models import LaneNet, init_weights
 from lanedetection_end2end_tpu.parallel import (
-    make_mesh, batch_sharding, replicate)
+    make_mesh, make_mesh_2d, batch_sharding, replicate)
 from lanedetection_end2end_tpu.train.checkpoint import (
     latest_checkpoint_epoch, load_checkpoint, save_checkpoint, _ckpt_path)
 from lanedetection_end2end_tpu.train.optim import (
@@ -88,7 +88,16 @@ class Trainer:
                     f"— {requested - ndev} device(s) will sit idle. Set a "
                     "divisible batch_size or pass num_devices explicitly.",
                     RuntimeWarning, stacklevel=2)
-            self.mesh = make_mesh(ndev)
+            if cfg.num_slices > 1:
+                # hierarchical ICI x DCN mesh (parallel/mesh.py)
+                if ndev % cfg.num_slices:
+                    raise ValueError(
+                        f"{ndev} devices do not divide into "
+                        f"num_slices={cfg.num_slices}")
+                self.mesh = make_mesh_2d(cfg.num_slices,
+                                         ndev // cfg.num_slices)
+            else:
+                self.mesh = make_mesh(ndev)
         else:
             self.mesh = None
         import jax.numpy as jnp

@@ -92,11 +92,12 @@ def _resolve_packed(lanenet, cfg: LaneConfig, phase: str,
 
 def make_loss_fn(lanenet, cfg: LaneConfig, phase: str, train: bool,
                  use_packed: bool | None = None,
-                 axis_name: str | None = None) -> Callable:
+                 axis_name=None) -> Callable:
     """Returns loss_fn(params, batch_stats, batch, rng) ->
     (loss, (metrics, outputs, new_batch_stats)).
 
-    `axis_name` (packed path only): mesh axis for sync-BN inside shard_map."""
+    `axis_name` (packed path only): mesh axis name — or tuple of names for
+    the hierarchical ICI x DCN mesh — for sync-BN inside shard_map."""
     profile = cfg.profile
     seg_weights = _seg_class_weights(cfg)
     if use_packed is None:
@@ -268,6 +269,21 @@ def _mesh_is_sharded(mesh) -> bool:
     return mesh is not None and mesh.devices.size > 1
 
 
+def _mesh_axes(mesh) -> tuple:
+    """All axis names of the DP mesh — ("data",) for the 1-D mesh,
+    ("dcn", "data") for the two-level ICI x DCN mesh (parallel/mesh.py).
+    Collectives over the tuple decompose hierarchically in XLA."""
+    return tuple(mesh.axis_names)
+
+
+def _shard_index(axes) -> jax.Array:
+    """Linear index of this shard over (possibly hierarchical) mesh axes."""
+    idx = 0
+    for a in axes:
+        idx = idx * jax.lax.psum(1, a) + jax.lax.axis_index(a)
+    return idx
+
+
 def _shard_map(fn, mesh, in_specs, out_specs):
     import inspect
     try:
@@ -294,7 +310,7 @@ def make_train_step(lanenet, cfg: LaneConfig, tx, phase: str,
     """
     sharded = _mesh_is_sharded(mesh)
     use_packed = _resolve_packed(lanenet, cfg, phase, sharded=sharded)
-    axis = "data" if (sharded and use_packed) else None
+    axis = _mesh_axes(mesh) if (sharded and use_packed) else None
     loss_fn = make_loss_fn(lanenet, cfg, phase, train=True,
                            use_packed=use_packed, axis_name=axis)
 
@@ -302,11 +318,13 @@ def make_train_step(lanenet, cfg: LaneConfig, tx, phase: str,
         if axis is not None and rng is not None:
             # decorrelate dropout draws across shards (GSPMD equivalent:
             # one global mask array split over the batch axis)
-            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+            rng = jax.random.fold_in(rng, _shard_index(axis))
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (metrics, _, new_bs)), grads = grad_fn(
             state.params, state.batch_stats, batch, rng)
         if axis is not None:
+            # hierarchical mesh: XLA decomposes the pmean over ("dcn",
+            # "data") into intra-slice (ICI) + cross-slice (DCN) phases
             grads = jax.lax.pmean(grads, axis)
             metrics = jax.lax.pmean(metrics, axis)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
@@ -316,7 +334,7 @@ def make_train_step(lanenet, cfg: LaneConfig, tx, phase: str,
 
     if axis is not None:
         from jax.sharding import PartitionSpec as P
-        step = _shard_map(step, mesh, in_specs=(P(), P("data"), P()),
+        step = _shard_map(step, mesh, in_specs=(P(), P(axis), P()),
                           out_specs=(P(), P()))
     return jax.jit(step, donate_argnums=(0,) if donate else (),
                    compiler_options=_packed_compiler_options(use_packed))
@@ -328,7 +346,7 @@ def make_eval_step(lanenet, cfg: LaneConfig, phase: str, mesh=None):
     wrapping rule as make_train_step (metrics pmean'd, outputs sharded)."""
     sharded = _mesh_is_sharded(mesh)
     use_packed = _resolve_packed(lanenet, cfg, phase, sharded=sharded)
-    axis = "data" if (sharded and use_packed) else None
+    axis = _mesh_axes(mesh) if (sharded and use_packed) else None
     loss_fn = make_loss_fn(lanenet, cfg, phase, train=False,
                            use_packed=use_packed)
 
@@ -341,6 +359,6 @@ def make_eval_step(lanenet, cfg: LaneConfig, phase: str, mesh=None):
 
     if axis is not None:
         from jax.sharding import PartitionSpec as P
-        step = _shard_map(step, mesh, in_specs=(P(), P("data")),
-                          out_specs=(P(), P("data")))
+        step = _shard_map(step, mesh, in_specs=(P(), P(axis)),
+                          out_specs=(P(), P(axis)))
     return jax.jit(step, compiler_options=_packed_compiler_options(use_packed))

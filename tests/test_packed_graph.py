@@ -309,3 +309,51 @@ def test_packed_train_step_sharded_matches_single_device():
                                atol=1e-4, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(s8["var"]), np.asarray(s1["var"]),
                                atol=1e-4, rtol=1e-3)
+
+
+def test_packed_train_step_hierarchical_mesh_matches_1d():
+    """2x4 hierarchical DCN x ICI mesh (parallel/mesh.py::make_mesh_2d):
+    the packed shard_map train step with pmean over ("dcn", "data")
+    reproduces the 1-D 8-device mesh step — same loss, same updates, same
+    sync-BN stats; only the collective decomposition differs."""
+    from lanedetection_end2end_tpu.config import train_sh_config
+    from lanedetection_end2end_tpu.data import SyntheticLanes
+    from lanedetection_end2end_tpu.models import LaneNet
+    from lanedetection_end2end_tpu.parallel import (
+        make_mesh, make_mesh_2d, replicate, shard_batch)
+    from lanedetection_end2end_tpu.train import define_optim, make_train_step
+    from lanedetection_end2end_tpu.train.state import init_train_state
+
+    cfg = train_sh_config(resize=32, batch_size=8, reg_ls=1.0,
+                          packed_train=True)
+    lanenet = LaneNet(cfg)
+    variables = lanenet.init(jax.random.PRNGKey(0))
+    batch = SyntheticLanes(8, 32, 4, "bp").batch()
+    tx = define_optim("sgd", cfg.learning_rate)
+
+    mesh1 = make_mesh(8)
+    state_1 = replicate(init_train_state(variables, tx), mesh1)
+    step_1 = make_train_step(lanenet, cfg, tx, "e2e", donate=False,
+                             mesh=mesh1)
+    state_1, metrics_1 = step_1(state_1, shard_batch(batch, mesh1), None)
+
+    mesh2 = make_mesh_2d(2, 4)
+    assert mesh2.axis_names == ("dcn", "data")
+    state_2 = replicate(init_train_state(variables, tx), mesh2)
+    step_2 = make_train_step(lanenet, cfg, tx, "e2e", donate=False,
+                             mesh=mesh2)
+    state_2, metrics_2 = step_2(state_2, shard_batch(batch, mesh2), None)
+
+    np.testing.assert_allclose(float(metrics_2["loss"]),
+                               float(metrics_1["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(state_1.params),
+                    jax.tree_util.tree_leaves(state_2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+    s1 = state_1.batch_stats["erfnet"]["encoder"]["nb64_0"]["bn1"]
+    s2 = state_2.batch_stats["erfnet"]["encoder"]["nb64_0"]["bn1"]
+    np.testing.assert_allclose(np.asarray(s2["mean"]), np.asarray(s1["mean"]),
+                               rtol=1e-5, atol=1e-7)
+    # replication spans all 8 devices
+    leaf = jax.tree_util.tree_leaves(state_2.params)[0]
+    assert len(leaf.sharding.device_set) == 8

@@ -322,3 +322,109 @@ def test_mesh_guardrails(tmp_path):
                                 save_path=str(tmp_path / "b")),
                     log_to_file=False, verbose=False)
     assert t.mesh.devices.size == 7
+
+
+def test_checkpoint_roundtrip_sharded_mesh(tmp_path):
+    """Checkpoint lifecycle on a SHARDED state: save from a hierarchical
+    2x4-mesh-replicated TrainState (device_get gathers), restore into a
+    host template, re-replicate onto the mesh, and keep stepping."""
+    from lanedetection_end2end_tpu.config import train_sh_config
+    from lanedetection_end2end_tpu.models import LaneNet
+    from lanedetection_end2end_tpu.parallel import (
+        make_mesh_2d, replicate, shard_batch)
+    from lanedetection_end2end_tpu.train.checkpoint import (
+        save_checkpoint, load_checkpoint, _ckpt_path)
+
+    cfg = train_sh_config(resize=32, batch_size=8, reg_ls=1.0,
+                          packed_train=True)
+    lanenet = LaneNet(cfg)
+    variables = lanenet.init(jax.random.PRNGKey(0))
+    tx = define_optim("sgd", cfg.learning_rate)
+    mesh = make_mesh_2d(2, 4)
+    state = replicate(init_train_state(variables, tx), mesh)
+    batch = shard_batch(SyntheticLanes(8, 32, 4, "bp").batch(), mesh)
+    step = make_train_step(lanenet, cfg, tx, "e2e", donate=False, mesh=mesh)
+    state, metrics = step(state, batch, None)
+
+    save_checkpoint(str(tmp_path), state, epoch=0, best_epoch=0,
+                    best_score=float(metrics["loss"]), is_best=True)
+    template = init_train_state(variables, tx)
+    restored, payload = load_checkpoint(_ckpt_path(str(tmp_path), 0),
+                                        template)
+    assert payload["epoch"] == 1
+    a = jax.tree_util.tree_leaves(jax.device_get(state.params))[0]
+    b = jax.tree_util.tree_leaves(restored.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # resume onto the mesh and take another step
+    state2 = replicate(restored, mesh)
+    state2, metrics2 = step(state2, batch, None)
+    assert np.isfinite(float(metrics2["loss"]))
+
+
+def test_multiprocess_loader_feeds_sharded_train_step(tmp_path):
+    """Simulated 2-process x 4-device multi-host run: two Loaders with
+    process_index 0/1 each decode only their contiguous local rows of the
+    global batch; the global array assembled from those per-process halves
+    (the make_array_from_process_local_data device layout) drives the
+    sharded train step to the same result as a single-process device_put of
+    the full batch — validating Loader._local_slice's alignment with
+    NamedSharding(P('data')) end to end through the Trainer's step."""
+    from lanedetection_end2end_tpu.config import train_sh_config
+    from lanedetection_end2end_tpu.data.loader import collate
+    from lanedetection_end2end_tpu.models import LaneNet
+    from lanedetection_end2end_tpu.parallel import (
+        batch_sharding, make_mesh, replicate, shard_batch)
+
+    root = make_synthetic_root(str(tmp_path / "d"), num_train=8, num_test=0,
+                               seed=9)
+    ds = LaneDataset("bp", root["image_dir"], root["gt_dir"], valid_idx=[],
+                     resize=32, nclasses=4, lanes_file=root["lanes_file"],
+                     line_file=root["line_file"])
+    B = 8
+    # one loader per simulated process — identical seed => identical order
+    loaders = [Loader(ds, range(8), B, shuffle=True, seed=3, nworkers=1,
+                      process_index=p, process_count=2) for p in (0, 1)]
+    local0 = next(iter(loaders[0]))
+    local1 = next(iter(loaders[1]))
+    full_loader = Loader(ds, range(8), B, shuffle=True, seed=3, nworkers=1)
+    full = next(iter(full_loader))
+    # local halves are exactly the contiguous rows of the global batch
+    for k in full:
+        np.testing.assert_array_equal(local0[k], full[k][: B // 2])
+        np.testing.assert_array_equal(local1[k], full[k][B // 2:])
+
+    mesh = make_mesh(8)
+    sharding = batch_sharding(mesh)
+    devices = list(mesh.devices.reshape(-1))
+
+    def assemble(k):
+        """Per-device shards drawn from the OWNING process's local rows —
+        the layout make_array_from_process_local_data produces when each
+        process holds devices [p*4, p*4+4)."""
+        rows = B // 8
+        shards = []
+        for d in range(8):
+            local = local0 if d < 4 else local1
+            off = (d % 4) * rows
+            shards.append(jax.device_put(local[k][off:off + rows],
+                                         devices[d]))
+        shape = (B,) + full[k].shape[1:]
+        return jax.make_array_from_single_device_arrays(shape, sharding,
+                                                        shards)
+
+    global_batch = {k: assemble(k) for k in full}
+
+    cfg = train_sh_config(resize=32, batch_size=B, reg_ls=1.0,
+                          packed_train=True)
+    lanenet = LaneNet(cfg)
+    variables = lanenet.init(jax.random.PRNGKey(0))
+    tx = define_optim("sgd", cfg.learning_rate)
+    step = make_train_step(lanenet, cfg, tx, "e2e", donate=False, mesh=mesh)
+
+    state_a = replicate(init_train_state(variables, tx), mesh)
+    _, metrics_a = step(state_a, global_batch, None)
+    state_b = replicate(init_train_state(variables, tx), mesh)
+    _, metrics_b = step(state_b, shard_batch(full, mesh), None)
+    np.testing.assert_allclose(float(metrics_a["loss"]),
+                               float(metrics_b["loss"]), rtol=1e-6)
