@@ -96,10 +96,10 @@ def _subset(arrays, struct, keys):
 # NB1D adapter: dict-packed -> _nb1d_body consts tuple
 # ----------------------------------------------------------------------
 
-def _nb(x, p, *, H, L, C, d, interpret):
+def _nb(x, p, *, H, L, C, d, interpret, seg=0):
     consts = tuple(p[k] for k in _NB_CONSTS)
     y = _nb1d_body(x.astype(jnp.bfloat16), consts, H=H, L=L, C=C, d=d,
-                   interpret=interpret)
+                   interpret=interpret, seg=seg)
     return y.astype(jnp.bfloat16).reshape(H, L)
 
 
@@ -128,45 +128,71 @@ def pack_encoder(variables, cfg: LaneConfig):
     return _flatten_packed(packed)
 
 
-def _encoder_plane_a(x, c, *, H, W, interpret):
-    """x: (H, W*4) padded-RGB plane -> (H/4, (W/4)*64): initial + down1 +
-    the 5-block NB1D-64 chain."""
-    t = body_downsampler(x, c["initial"], H=H, W=W, interpret=interpret)
+def _encoder_plane_a(x, c, *, H, W, interpret, stack=1):
+    """x: (stack*H, W*4) padded-RGB plane -> (stack*(H/4), (W/4)*64):
+    initial + down1 + the 5-block NB1D-64 chain. With stack > 1
+    (NB1D_STACK), the plane holds `stack` images and every body masks its
+    H-direction taps at the image junctions (seg=per-image height)."""
+    sg = lambda h: h if stack > 1 else 0
+    t = body_downsampler(x, c["initial"], H=stack * H, W=W,
+                         interpret=interpret, seg=sg(H))
     H2, W2 = H // 2, W // 2
-    t = body_downsampler(t, c["down1"], H=H2, W=W2, interpret=interpret)
+    t = body_downsampler(t, c["down1"], H=stack * H2, W=W2,
+                         interpret=interpret, seg=sg(H2))
     H3, W3 = H2 // 2, W2 // 2
     for name, d in _ENC_NB64:
-        t = _nb(t, c[name], H=H3, L=W3 * 64, C=64, d=d, interpret=interpret)
+        t = _nb(t, c[name], H=stack * H3, L=W3 * 64, C=64, d=d,
+                interpret=interpret, seg=sg(H3))
     return t
 
 
-def _encoder_plane_b(t, c, *, H, W, interpret):
-    """(H/4, (W/4)*64) -> (H/8, (W/8)*128): down2 + dilated NB1D-128 chain."""
+def _encoder_plane_b(t, c, *, H, W, interpret, stack=1):
+    """(stack*(H/4), (W/4)*64) -> (stack*(H/8), (W/8)*128): down2 +
+    dilated NB1D-128 chain."""
+    sg = lambda h: h if stack > 1 else 0
     H3, W3 = H // 4, W // 4
-    t = body_downsampler(t, c["down2"], H=H3, W=W3, interpret=interpret)
+    t = body_downsampler(t, c["down2"], H=stack * H3, W=W3,
+                         interpret=interpret, seg=sg(H3))
     H4, W4 = H3 // 2, W3 // 2
     for name, d in _ENC_NB128:
-        t = _nb(t, c[name], H=H4, L=W4 * 128, C=128, d=d,
-                interpret=interpret)
+        t = _nb(t, c[name], H=stack * H4, L=W4 * 128, C=128, d=d,
+                interpret=interpret, seg=sg(H4))
     return t
 
 
-def _encoder_plane(x, c, *, H, W, interpret):
-    """x: (H, W*4) padded-RGB plane -> (H/8, (W/8)*128) encoder features."""
-    t = _encoder_plane_a(x, c, H=H, W=W, interpret=interpret)
-    return _encoder_plane_b(t, c, H=H, W=W, interpret=interpret)
+def _encoder_plane(x, c, *, H, W, interpret, stack=1):
+    """x: (stack*H, W*4) padded-RGB plane -> (stack*(H/8), (W/8)*128)."""
+    t = _encoder_plane_a(x, c, H=H, W=W, interpret=interpret, stack=stack)
+    return _encoder_plane_b(t, c, H=H, W=W, interpret=interpret, stack=stack)
 
 
 def _pair_factor(B: int) -> int:
     """Images per grid step (env NB1D_PAIR, default 1). P>1 gives Mosaic P
     independent MXU/VPU chains per program to interleave — the serial
     conv->epilogue->conv dependency chain of one image leaves whole units
-    idle that another image's chain can fill."""
+    idle that another image's chain can fill. Measured r04: the scheduler
+    does NOT interleave the unrolled chains (SPLIT=1 PAIR=2 3582 img/s vs
+    PAIR=1 3738) — prefer NB1D_STACK."""
     import os
     P = int(os.environ.get("NB1D_PAIR", "1"))
     while P > 1 and B % P:
         P -= 1
     return max(P, 1)
+
+
+def _stack_factor(B: int) -> int:
+    """Images stacked along the SUBLANE (row) axis per grid step (env
+    NB1D_STACK, default 1). Unlike NB1D_PAIR (which unrolls the program P
+    times), stacking keeps the instruction count constant and doubles every
+    matmul's M dimension: (S*H*L/128, 128) @ (128, 128) — better MXU
+    pipelining and half the per-element instruction issue — at the cost of
+    cheap junction masks on the H-direction conv taps (see
+    `_nb1d_body(seg=...)`). Compile cost is flat in S."""
+    import os
+    S = int(os.environ.get("NB1D_STACK", "1"))
+    while S > 1 and B % S:
+        S -= 1
+    return max(S, 1)
 
 
 def _split_mode() -> bool:
@@ -218,9 +244,11 @@ def encoder_fused(images, packed_arrays, struct, cfg: LaneConfig,
                   interpret: bool = False):
     """images: (B, H, W, 3) -> encoder features (B, H/8, W/8, 128)."""
     B, H, W, _ = images.shape
+    S = _stack_factor(B)
     x = jnp.pad(images.astype(jnp.bfloat16),
                 ((0, 0), (0, 0), (0, 0), (0, 1)))  # RGB -> 4ch lane packing
-    xf = x.reshape(B, H, W * 4)
+    # NB1D_STACK: S consecutive images stacked along rows into one plane
+    xf = x.reshape(B // S, S * H, W * 4)
     Ho, Lo = H // 8, (W // 8) * 128
     if _split_mode():
         a_arrays, a_struct = _subset(packed_arrays, struct, _ENC_A_KEYS)
@@ -228,19 +256,20 @@ def encoder_fused(images, packed_arrays, struct, cfg: LaneConfig,
         mid = _plane_call(
             xf, a_arrays, a_struct,
             lambda p, c: _encoder_plane_a(p, c, H=H, W=W,
-                                          interpret=interpret),
-            Ho=H // 4, Lo=(W // 4) * 64, out_dtype=jnp.bfloat16,
+                                          interpret=interpret, stack=S),
+            Ho=S * (H // 4), Lo=(W // 4) * 64, out_dtype=jnp.bfloat16,
             interpret=interpret)
         out = _plane_call(
             mid, b_arrays, b_struct,
             lambda p, c: _encoder_plane_b(p, c, H=H, W=W,
-                                          interpret=interpret),
-            Ho=Ho, Lo=Lo, out_dtype=jnp.bfloat16, interpret=interpret)
+                                          interpret=interpret, stack=S),
+            Ho=S * Ho, Lo=Lo, out_dtype=jnp.bfloat16, interpret=interpret)
     else:
         out = _plane_call(
             xf, packed_arrays, struct,
-            lambda p, c: _encoder_plane(p, c, H=H, W=W, interpret=interpret),
-            Ho=Ho, Lo=Lo, out_dtype=jnp.bfloat16, interpret=interpret)
+            lambda p, c: _encoder_plane(p, c, H=H, W=W, interpret=interpret,
+                                        stack=S),
+            Ho=S * Ho, Lo=Lo, out_dtype=jnp.bfloat16, interpret=interpret)
     return out.reshape(B, Ho, W // 8, 128)
 
 
@@ -289,27 +318,38 @@ def pack_decoder(variables, cfg: LaneConfig, fitter):
     return _flatten_packed(packed)
 
 
-def _decoder_plane_a(enc, c, *, cfg: LaneConfig, interpret):
-    """enc (H/8, (W/8)*128) -> (H/2, (W/2)*16): up1 + NB1D-64 x2 + up2."""
+def _decoder_plane_a(enc, c, *, cfg: LaneConfig, interpret, stack=1):
+    """enc (stack*(H/8), (W/8)*128) -> (stack*(H/2), (W/2)*16):
+    up1 + NB1D-64 x2 + up2."""
     H, W = cfg.image_height, cfg.image_width
+    sg = lambda h: h if stack > 1 else 0
     H4, W4 = H // 8, W // 8
-    t = body_upsampler(enc, c["up1"], H=H4, W=W4, interpret=interpret)
+    t = body_upsampler(enc, c["up1"], H=stack * H4, W=W4,
+                       interpret=interpret, seg=sg(H4))
     H3, W3 = H4 * 2, W4 * 2
     for name, d in _DEC_NB64:
-        t = _nb(t, c[name], H=H3, L=W3 * 64, C=64, d=d, interpret=interpret)
-    return body_upsampler(t, c["up2"], H=H3, W=W3, interpret=interpret)
+        t = _nb(t, c[name], H=stack * H3, L=W3 * 64, C=64, d=d,
+                interpret=interpret, seg=sg(H3))
+    return body_upsampler(t, c["up2"], H=stack * H3, W=W3,
+                          interpret=interpret, seg=sg(H3))
 
 
-def _decoder_plane_b(t, c, *, cfg: LaneConfig, interpret):
-    """(H/2, (W/2)*16) -> S (H, 256): NB1D-16 x2 + head + activation +
-    row mask + WLS row sums ([S0 | S1], channel c in lanes c and 128+c)."""
+def _decoder_plane_b(t, c, *, cfg: LaneConfig, interpret, stack=1):
+    """(stack*(H/2), (W/2)*16) -> S (stack*H, 256): NB1D-16 x2 + head +
+    activation + row mask + WLS row sums ([S0 | S1], channel c in lanes c
+    and 128+c)."""
     H, W = cfg.image_height, cfg.image_width
+    sg = lambda h: h if stack > 1 else 0
     out_ch = cfg.nclasses if cfg.pretrained else cfg.seg_out_channels
     C = out_ch
     H2, W2 = H // 2, W // 2
     for name, d in _DEC_NB16:
-        t = _nb(t, c[name], H=H2, L=W2 * 16, C=16, d=d, interpret=interpret)
-    dec = body_head(t, c["head"], H=H2, W=W2, interpret=interpret)  # (H, W*C) f32
+        t = _nb(t, c[name], H=stack * H2, L=W2 * 16, C=16, d=d,
+                interpret=interpret, seg=sg(H2))
+    # 2x2/s2 ConvT head reads one input row per output row pair: no
+    # junction leak, no seg needed
+    dec = body_head(t, c["head"], H=stack * H2, W=W2,
+                    interpret=interpret)  # (stack*H, W*C) f32
 
     # activation -> (act * mask)^2, with the row mask applied to S below
     act = cfg.activation_layer
@@ -330,28 +370,32 @@ def _decoder_plane_b(t, c, *, cfg: LaneConfig, interpret):
 
     L = W * C
     nblk = L // 128
+    Ht = stack * H
     z0 = w2.astype(jnp.float32).reshape(-1, 128)
     z1 = (w2 * c["xs"]).astype(jnp.float32).reshape(-1, 128)
     p0 = jnp.dot(z0, c["sel"], preferred_element_type=jnp.float32)
     p1 = jnp.dot(z1, c["sel"], preferred_element_type=jnp.float32)
     # per-row reduction over the nblk partials, all at 128 lanes
-    s0 = jnp.dot(p0.reshape(H, nblk * 128), c["red"],
+    s0 = jnp.dot(p0.reshape(Ht, nblk * 128), c["red"],
                  preferred_element_type=jnp.float32)
-    s1 = jnp.dot(p1.reshape(H, nblk * 128), c["red"],
+    s1 = jnp.dot(p1.reshape(Ht, nblk * 128), c["red"],
                  preferred_element_type=jnp.float32)
-    # top-row mask: rows [0, ceil(resize * mask_pct)) contribute nothing
+    # top-row mask: rows [0, ceil(resize * mask_pct)) of EACH image
+    # contribute nothing (per-image row index: H is a power of two)
     from math import ceil
     zero_rows = ceil(cfg.resize * cfg.mask_percentage)
-    row = jax.lax.broadcasted_iota(jnp.int32, (H, 128), 0)
+    assert (H & (H - 1)) == 0, H
+    row = jax.lax.broadcasted_iota(jnp.int32, (Ht, 128), 0)
+    row = jax.lax.bitwise_and(row, H - 1)
     s0 = jnp.where(row < zero_rows, 0.0, s0)
     s1 = jnp.where(row < zero_rows, 0.0, s1)
-    return jnp.concatenate([s0, s1], axis=1)  # (H, 256)
+    return jnp.concatenate([s0, s1], axis=1)  # (stack*H, 256)
 
 
-def _decoder_plane(enc, c, *, cfg: LaneConfig, interpret):
-    """enc (H/8, (W/8)*128) -> S (H, 256) WLS row sums."""
-    t = _decoder_plane_a(enc, c, cfg=cfg, interpret=interpret)
-    return _decoder_plane_b(t, c, cfg=cfg, interpret=interpret)
+def _decoder_plane(enc, c, *, cfg: LaneConfig, interpret, stack=1):
+    """enc (stack*(H/8), (W/8)*128) -> S (stack*H, 256) WLS row sums."""
+    t = _decoder_plane_a(enc, c, cfg=cfg, interpret=interpret, stack=stack)
+    return _decoder_plane_b(t, c, cfg=cfg, interpret=interpret, stack=stack)
 
 
 _DEC_A_KEYS = frozenset({"up1", "up2"} | {n for n, _ in _DEC_NB64})
@@ -364,8 +408,9 @@ def decoder_fused(enc, packed_arrays, struct, cfg: LaneConfig,
     """enc: (B, H/8, W/8, 128) -> S (B, H, 2*C) WLS row sums [S0 | S1]."""
     B, H8, W8, _ = enc.shape
     H = cfg.image_height
+    S = _stack_factor(B)
     out_ch = cfg.nclasses if cfg.pretrained else cfg.seg_out_channels
-    encf = enc.reshape(B, H8, W8 * 128)
+    encf = enc.reshape(B // S, S * H8, W8 * 128)
 
     if _split_mode():
         W = cfg.image_width
@@ -374,19 +419,21 @@ def decoder_fused(enc, packed_arrays, struct, cfg: LaneConfig,
         mid = _plane_call(
             encf, a_arrays, a_struct,
             lambda p, c: _decoder_plane_a(p, c, cfg=cfg,
-                                          interpret=interpret),
-            Ho=H // 2, Lo=(W // 2) * 16, out_dtype=jnp.bfloat16,
+                                          interpret=interpret, stack=S),
+            Ho=S * (H // 2), Lo=(W // 2) * 16, out_dtype=jnp.bfloat16,
             interpret=interpret)
         out = _plane_call(
             mid, b_arrays, b_struct,
             lambda p, c: _decoder_plane_b(p, c, cfg=cfg,
-                                          interpret=interpret),
-            Ho=H, Lo=256, out_dtype=jnp.float32, interpret=interpret)
+                                          interpret=interpret, stack=S),
+            Ho=S * H, Lo=256, out_dtype=jnp.float32, interpret=interpret)
     else:
         out = _plane_call(
             encf, packed_arrays, struct,
-            lambda p, c: _decoder_plane(p, c, cfg=cfg, interpret=interpret),
-            Ho=H, Lo=256, out_dtype=jnp.float32, interpret=interpret)
+            lambda p, c: _decoder_plane(p, c, cfg=cfg, interpret=interpret,
+                                        stack=S),
+            Ho=S * H, Lo=256, out_dtype=jnp.float32, interpret=interpret)
+    out = out.reshape(B, H, 256)
     # lanes 0..C-1 = S0 channels, 128..128+C-1 = S1 channels
     return jnp.concatenate([out[:, :, :out_ch], out[:, :, 128:128 + out_ch]],
                            axis=-1)

@@ -152,8 +152,13 @@ def pack_downsampler(params: Dict, stats: Dict, cin: int, cout: int,
     }
 
 
-def body_downsampler(x, packed, *, H, W, interpret):
-    """x: (H, W*cin) -> (H/2, (W/2)*cout), fused conv||pool + BN + relu."""
+def body_downsampler(x, packed, *, H, W, interpret, seg: int = 0):
+    """x: (H, W*cin) -> (H/2, (W/2)*cout), fused conv||pool + BN + relu.
+
+    `seg` > 0 (NB1D_STACK serving mode): the plane stacks H/seg images of
+    `seg` rows; the only cross-row tap that can leak across a junction is
+    row 2h'-1 at the top of each image — masked below. The 2h'/2h'+1 taps
+    and the 2x2 maxpool pair rows within an image (seg is even)."""
     cin, cout = packed["cin"], packed["cout"]
     L = W * cin
     # one input 128-block (128/cin w) -> (128/cin)/2 w' -> that many * cout
@@ -164,6 +169,12 @@ def body_downsampler(x, packed, *, H, W, interpret):
     r1 = xp[:, L:]                       # rows 2h'+1
     zeros = jnp.zeros((1, L), x.dtype)
     rm1 = jnp.concatenate([zeros, r1[:-1]], axis=0)  # rows 2h'-1
+    if seg:
+        hseg = seg // 2
+        assert (hseg & (hseg - 1)) == 0, seg
+        hp = jax.lax.broadcasted_iota(jnp.int32, rm1.shape, 0)
+        rm1 = jnp.where(jax.lax.bitwise_and(hp, hseg - 1) == 0,
+                        jnp.zeros((), rm1.dtype), rm1)
 
     acc = None
     for t, rows in zip(packed["rows"], (rm1, r0, r1)):
@@ -236,11 +247,20 @@ def pack_upsampler(params: Dict, stats: Dict, cin: int, cout: int,
     return out
 
 
-def body_upsampler(x, packed, *, H, W, interpret):
-    """x: (H, W*cin) -> (2H, 2W*cout) ConvT 3x3/s2 + BN + relu."""
+def body_upsampler(x, packed, *, H, W, interpret, seg: int = 0):
+    """x: (H, W*cin) -> (2H, 2W*cout) ConvT 3x3/s2 + BN + relu.
+
+    `seg` > 0 (NB1D_STACK): only the row-(h+1) tap can cross an image
+    junction (at the last row of each image) — masked. The row-phase
+    interleave pairs output rows of the SAME input row, junction-safe."""
     cin, cout, r_in = packed["cin"], packed["cout"], packed["r_in"]
     zeros = jnp.zeros((1, W * cin), x.dtype)
     x_next = jnp.concatenate([x[1:], zeros], axis=0)  # row h+1
+    if seg:
+        assert (seg & (seg - 1)) == 0, seg
+        row = jax.lax.broadcasted_iota(jnp.int32, x_next.shape, 0)
+        x_next = jnp.where(jax.lax.bitwise_and(row, seg - 1) == seg - 1,
+                           jnp.zeros((), x_next.dtype), x_next)
 
     phases = []
     for i in (0, 1):

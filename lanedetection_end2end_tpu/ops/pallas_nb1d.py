@@ -188,11 +188,31 @@ def _nb1d_kernel(x_ref, Kh1, Kw1, Kh2, Kw2, b1, m1, a1, b3, m2, a2,
     out_ref[0] = y.astype(out_ref.dtype).reshape(H, L)
 
 
-def _nb1d_body(x, consts, *, H, L, C, d, interpret):
+def _nb1d_body(x, consts, *, H, L, C, d, interpret, seg: int = 0):
     """One NB1D block on a resident (H, L) plane; returns (H*L/128, 128)
     pre-relu residual output (f32, or bf16 under NB1D_BF16ACC=1). Shared by
-    the single and chain kernels."""
+    the single and chain kernels.
+
+    `seg` > 0: the plane stacks H/seg images of `seg` rows each (the
+    NB1D_STACK serving mode, models/fused_graph.py::_stack_factor) — the
+    H-direction taps must not leak across image junctions, so the shifted
+    planes are masked at the `seg`-row boundaries. `seg` must be a power of
+    two (every ERFNet stage height is), letting the per-image row index be
+    a bitwise AND instead of a mod."""
     Kh1, Kw1, Kh2, Kw2, b1, m1, a1, b3, m2, a2 = consts
+    assert seg == 0 or (seg & (seg - 1)) == 0, seg
+
+    def _seg_mask_rows(t, dil, side):
+        """Zero the `dil` rows adjacent to each image junction that a
+        row-shift by `dil` pulled from the neighboring image. side='up':
+        rows with (r mod seg) < dil read image k-1; side='dn': rows with
+        (r mod seg) >= seg - dil read image k+1."""
+        if not seg or dil >= seg:
+            return t if seg == 0 else jnp.zeros_like(t)
+        row = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+        rseg = jax.lax.bitwise_and(row, seg - 1)
+        cond = rseg < dil if side == "up" else rseg >= seg - dil
+        return jnp.where(cond, jnp.zeros((), t.dtype), t)
 
     # NB1D_BF16ACC=1: tap sums and epilogues in bf16 (half the VPU vreg
     # traffic). Mosaic requires a 32-bit matmul accumulator, so each dot
@@ -209,8 +229,10 @@ def _nb1d_body(x, consts, *, H, L, C, d, interpret):
             up = dn = jnp.zeros((H, L), t.dtype)
         else:
             zeros = jnp.zeros((dil, L), t.dtype)
-            up = jnp.concatenate([zeros, t[:-dil]], axis=0)
-            dn = jnp.concatenate([t[dil:], zeros], axis=0)
+            up = _seg_mask_rows(jnp.concatenate([zeros, t[:-dil]], axis=0),
+                                dil, "up")
+            dn = _seg_mask_rows(jnp.concatenate([t[dil:], zeros], axis=0),
+                                dil, "dn")
         return dot(up, K[0]) + dot(t, K[1]) + dot(dn, K[2])
 
     def conv_h_wino(t, K, dil):
@@ -239,6 +261,9 @@ def _nb1d_body(x, consts, *, H, L, C, d, interpret):
         return jnp.concatenate([ye, yo], axis=1)
 
     def conv_h(t, K, dil):
+        # Winograd-H pairs rows across super-rows and cannot be junction-
+        # masked; NB1D_WINO and NB1D_STACK are mutually exclusive.
+        assert K.shape[0] == 3 or seg == 0, "NB1D_WINO incompatible with NB1D_STACK"
         out = (conv_h_wino if K.shape[0] == 4 else conv_h_direct)(t, K, dil)
         return out.reshape(-1, 128)
 
