@@ -119,7 +119,13 @@ def _accum(ref, value, first):
 def _pair(B: int) -> int:
     """Images per grid step (env PACKED_PAIR, default 1): P independent
     MXU/VPU chains per program for Mosaic to interleave — one image's
-    serial conv->epilogue chain leaves units idle that another's fills."""
+    serial conv->epilogue chain leaves units idle that another's fills.
+
+    Measured r04 (serving twins, NB1D_PAIR): Mosaic does NOT interleave the
+    unrolled chains — PAIR=2 was throughput-neutral-to-negative and PAIR=4
+    SIGKILLed the compile helper. Kept as an experiment knob only; the
+    productive variant is row-stacking (see fused_graph._stack_factor),
+    which scales matmul M instead of unrolling the program."""
     import os
     P = int(os.environ.get("PACKED_PAIR", "1"))
     while P > 1 and B % P:
