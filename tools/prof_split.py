@@ -1,0 +1,48 @@
+"""Profiling harness: measure split-kernel serving variants on TPU."""
+import os, time
+import numpy as np
+import jax
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/lanedet_xla"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+import jax.numpy as jnp
+
+from lanedetection_end2end_tpu.config import train_sh_config
+from lanedetection_end2end_tpu.eval.projections import Projections
+from lanedetection_end2end_tpu.eval.test_driver import make_infer_fn
+from lanedetection_end2end_tpu.models import LaneNet
+from lanedetection_end2end_tpu.models.infer_engine import FusedLaneNetEngine
+
+bs = int(os.environ.get("BS", "32"))
+cfg = train_sh_config(resize=256, batch_size=bs, reg_ls=1.0)
+lanenet = LaneNet(cfg, dtype=jnp.bfloat16)
+with jax.default_device(jax.devices("cpu")[0]):
+    variables = lanenet.init(jax.random.PRNGKey(0))
+variables = jax.device_put(jax.device_get(variables), jax.devices()[0])
+images = jnp.asarray(np.random.default_rng(0).uniform(
+    0, 1, (bs, cfg.image_height, cfg.image_width, 3)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+
+for pair in os.environ.get("PAIRS", "2,4,1").split(","):
+    os.environ["NB1D_SPLIT"] = "1"
+    os.environ["NB1D_PAIR"] = pair
+    try:
+        engine = FusedLaneNetEngine(cfg, dtype=jnp.bfloat16)
+        packed = jax.device_put(engine.prepare(variables), jax.devices()[0])
+        infer = make_infer_fn(lanenet, cfg,
+                              Projections(cfg.resize, cfg.order,
+                                          cfg.no_mapping),
+                              engine, packed)
+        for _ in range(5):
+            infer(variables, images).block_until_ready()
+        best = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(30):
+                out = infer(variables, images)
+            out.block_until_ready()
+            best = max(best, bs * 30 / (time.perf_counter() - t0))
+        print(f"SPLIT=1 PAIR={pair}: {best:.1f} img/s", flush=True)
+    except Exception as e:
+        print(f"SPLIT=1 PAIR={pair}: FAILED {type(e).__name__}: "
+              f"{str(e)[:120]}", flush=True)
