@@ -1,5 +1,6 @@
 """Profiling harness: measure NB1D_STACK serving variants on TPU."""
-import os, time
+import os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax
 jax.config.update("jax_compilation_cache_dir",
