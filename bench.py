@@ -20,8 +20,9 @@ submissions (Backprojection_Loss/test.py:97) => 50 images/sec on its
 unspecified single GPU. `vs_baseline` is measured-throughput / 50.
 
 Env knobs: BENCH_MODE=infer|train|pipeline|all (default all on TPU, infer
-elsewhere), BENCH_BATCH_SIZES=8,32, BENCH_DTYPE=f32, BENCH_REPEATS=3,
-BENCH_PACKED=0/1 (force packed/flax train graph).
+elsewhere), BENCH_BATCH_SIZES=8,32 (infer sweep; best-by-median wins),
+BENCH_TRAIN_BS=32 (train/pipeline/e2e batch), BENCH_DTYPE=f32,
+BENCH_REPEATS=3, BENCH_PACKED=0/1 (force packed/flax train graph).
 """
 
 from __future__ import annotations
@@ -263,10 +264,15 @@ def main():
     platform = jax.devices()[0].platform
     default_mode = "all" if platform != "cpu" else "infer"
     mode = os.environ.get("BENCH_MODE", default_mode)
-    # best measured: inference plateaus at bs32; the packed-kernel training
-    # step (auto on single-device TPU) improves with batch up to bs32
+    # Measured r04 (PROFILE_r04.md): inference 3750 (bs32) -> 3869 (bs64)
+    # -> 3973 img/s (bs128) — the fixed ~0.6 ms dispatch amortizes with
+    # batch, so the infer sweep covers both ends (both compile-cached).
+    # Train/pipeline/e2e stay at BENCH_TRAIN_BS (default 32: the packed
+    # train kernels improve with batch up to bs32, and bs128 train has no
+    # cached compile on the bench host).
     sweep = tuple(int(b) for b in os.environ.get(
-        "BENCH_BATCH_SIZES", "32").split(","))
+        "BENCH_BATCH_SIZES", "32,128").split(","))
+    train_bs = int(os.environ.get("BENCH_TRAIN_BS", "32"))
     dtype = (jnp.float32 if os.environ.get("BENCH_DTYPE") == "f32"
              else jnp.bfloat16)
 
@@ -279,15 +285,15 @@ def main():
                 best = (bs, statistics.median(s), s)
         detail["infer"] = {**_stats(best[2]), "batch_size": best[0]}
     if mode in ("train", "all"):
-        s = bench_train(sweep[-1])
-        detail["train"] = {**_stats(s), "batch_size": sweep[-1]}
+        s = bench_train(train_bs)
+        detail["train"] = {**_stats(s), "batch_size": train_bs}
     if mode in ("pipeline", "all"):
-        s, stages = bench_pipeline(sweep[-1])
-        detail["pipeline"] = {**_stats(s), "batch_size": sweep[-1],
+        s, stages = bench_pipeline(train_bs)
+        detail["pipeline"] = {**_stats(s), "batch_size": train_bs,
                               "stages": stages}
     if mode in ("e2e", "all"):
-        s = bench_e2e(sweep[-1])
-        detail["e2e"] = {**_stats(s), "batch_size": sweep[-1]}
+        s = bench_e2e(train_bs)
+        detail["e2e"] = {**_stats(s), "batch_size": train_bs}
 
     head_key = mode if mode != "all" else "infer"
     name = {"train": "train_images_per_sec_per_chip_256x512",
