@@ -112,10 +112,24 @@ class _CooMaps:
 
     Same contract as ops/pallas_backbone._lane_maps, but collecting
     (row, col, kernel_flat_index) instead of baking numpy weights, so the
-    matrices can be rebuilt from LEARNABLE kernels at trace time."""
+    matrices can be rebuilt from LEARNABLE kernels at trace time.
 
-    def __init__(self, in_lanes: int, out_lanes: int):
+    `block=(cin_lane, cout_lane, cinK, coutK)`: when the map's rows tile in
+    blocks of `cin_lane` lanes (kernel input channels occupying the first
+    `cinK`), its columns in blocks of `cout_lane` (first `coutK` used), and
+    kidx = t*cinK*coutK + ci*coutK + co (every conv/ConvT layout here),
+    finalize() derives a constant 0/1 block-placement mask per kernel tap so
+    `_build_maps` can construct the matrices as
+    einsum(masks, kernel_taps) — broadcasts/multiplies only. The default
+    gather(kern_flat)+scatter construction runs at ~0.6 GB/s on TPU and was
+    40%+ of the packed train step's XLA tail (PROFILE_r04.md train trace:
+    0.5 ms for ONE 128x576 map); the einsum form is a few-microsecond
+    fusion with a plain reduction (not a scatter) as its weight gradient."""
+
+    def __init__(self, in_lanes: int, out_lanes: int,
+                 block: Tuple[int, int, int, int] | None = None):
         self.in_lanes, self.out_lanes = in_lanes, out_lanes
+        self.block = block
         self.coo: Dict[int, list] = {}
 
     def add(self, w_in: int, cin: int, ci: int, lane_out: int, kidx: int):
@@ -123,21 +137,71 @@ class _CooMaps:
         shift, lane_rel = divmod(lane_in, self.in_lanes)
         self.coo.setdefault(shift, []).append((lane_rel, lane_out, kidx))
 
-    def finalize(self) -> Dict[int, Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    def _decomp(self, rows, cols, kidx):
+        """(masks (T_used, R, Cq) f32, tap list) when the triples factor into
+        whole-kernel-block placements; None otherwise (generic scatter)."""
+        cin_l, cout_l, cinK, coutK = self.block
+        ci, wi = rows % cin_l, rows // cin_l
+        co, wo = cols % cout_l, cols // cout_l
+        if (ci >= cinK).any() or (co >= coutK).any():
+            return None
+        base = kidx - (ci * coutK + co)
+        if (base % (cinK * coutK)).any():
+            return None
+        t = base // (cinK * coutK)
+        R, Cq = self.in_lanes // cin_l, self.out_lanes // cout_l
+        tmap = np.full((R, Cq), -1, np.int64)
+        cnt = np.zeros((R, Cq), np.int64)
+        for a in range(len(rows)):
+            if tmap[wi[a], wo[a]] not in (-1, t[a]):
+                return None  # two taps share a block: not factorable
+            tmap[wi[a], wo[a]] = t[a]
+            cnt[wi[a], wo[a]] += 1
+        if ((tmap >= 0) & (cnt != cinK * coutK)).any():
+            return None  # partial/duplicated block coverage
+        tlist = sorted(set(int(v) for v in tmap[tmap >= 0]))
+        masks = np.zeros((len(tlist), R, Cq), np.float32)
+        for u, tv in enumerate(tlist):
+            masks[u][tmap == tv] = 1.0
+        return masks, tuple(tlist)
+
+    def finalize(self) -> Dict[int, tuple]:
         out = {}
         for shift, triples in self.coo.items():
-            arr = np.asarray(triples, np.int32)
-            out[shift] = (arr[:, 0], arr[:, 1], arr[:, 2])
+            arr = np.asarray(triples, np.int64)
+            rows, cols, kidx = arr[:, 0], arr[:, 1], arr[:, 2]
+            decomp = None
+            if self.block is not None \
+                    and os.environ.get("PACKED_GATHER_MAPS") != "1":
+                decomp = self._decomp(rows, cols, kidx)
+                if decomp is not None:
+                    decomp = (*decomp, self.block)
+            out[shift] = (rows.astype(np.int32), cols.astype(np.int32),
+                          kidx.astype(np.int32), decomp)
         return out
 
 
 def _build_maps(coo, kern_flat, in_lanes: int, out_lanes: int):
-    """COO triples + flat kernel vector -> {shift: (in_lanes, out_lanes)}."""
-    return {
-        shift: jnp.zeros((in_lanes, out_lanes), kern_flat.dtype)
-        .at[rows, cols].add(kern_flat[kidx])
-        for shift, (rows, cols, kidx) in coo.items()
-    }
+    """COO entries + flat kernel vector -> {shift: (in_lanes, out_lanes)}.
+
+    Entries carrying a block decomposition (see _CooMaps) build the matrix
+    as einsum(constant masks, kernel tap blocks) — no gathers; the rest
+    fall back to the scatter construction."""
+    out = {}
+    for shift, (rows, cols, kidx, decomp) in coo.items():
+        if decomp is None:
+            out[shift] = (jnp.zeros((in_lanes, out_lanes), kern_flat.dtype)
+                          .at[rows, cols].add(kern_flat[kidx]))
+            continue
+        masks, tlist, (cin_l, cout_l, cinK, coutK) = decomp
+        T = kern_flat.size // (cinK * coutK)
+        k3 = kern_flat.reshape(T, cinK, coutK)
+        kb = jnp.stack([k3[t] for t in tlist])  # static slices, no gather
+        kb = jnp.pad(kb, ((0, 0), (0, cin_l - cinK), (0, cout_l - coutK)))
+        m = jnp.einsum("trc,tij->ricj",
+                       jnp.asarray(masks, kern_flat.dtype), kb)
+        out[shift] = m.reshape(in_lanes, out_lanes)
+    return out
 
 
 def _apply_maps(x, maps, r_in: int, precision=None):
@@ -442,7 +506,7 @@ def _downsampler_idx(cin: int, cin0: int, cc: int, cout: int):
     assert out_lanes % 128 == 0, (cin, cout)
     rows = []
     for kh in range(3):
-        m = _CooMaps(128, out_lanes)
+        m = _CooMaps(128, out_lanes, block=(cin, cout, cin0, cc))
         for w_out in range(n_out):
             for kw in range(3):
                 w_in = 2 * w_out + kw - 1
@@ -566,7 +630,7 @@ def _upsampler_idx(cin: int, cout: int):
     maps = {}
     for i in (0, 1):
         for kh, dh in _convt_taps(i):
-            m = _CooMaps(128 * r_in, out_lanes)
+            m = _CooMaps(128 * r_in, out_lanes, block=(cin, cout, cin, cout))
             for w_out in range(n_out):
                 for j in (0, 1):
                     for (kw, dw) in _convt_taps(j):
@@ -668,7 +732,7 @@ def _head_idx(cin: int, cout: int):
     out_lanes = n_out * 2 * cout
     maps = {}
     for i in (0, 1):
-        m = _CooMaps(128 * r_in, out_lanes)
+        m = _CooMaps(128 * r_in, out_lanes, block=(cin, cout, cin, cout))
         for w_out in range(n_out):
             for j in (0, 1):
                 for ci in range(cin):

@@ -357,3 +357,70 @@ def test_packed_train_step_hierarchical_mesh_matches_1d():
     # replication spans all 8 devices
     leaf = jax.tree_util.tree_leaves(state_2.params)[0]
     assert len(leaf.sharding.device_set) == 8
+
+
+def test_build_maps_einsum_matches_scatter(monkeypatch):
+    """The gather-free einsum map construction (_CooMaps block decomposition)
+    must produce bit-identical matrices to the legacy scatter construction
+    for every lane-map builder: downsampler rows (all three stages),
+    upsampler phases, and the output head."""
+    rng = np.random.default_rng(0)
+
+    def both(idx_fn, args, kshape, in_lanes_of):
+        kflat = jnp.asarray(rng.normal(size=kshape).astype(np.float32)
+                            ).reshape(-1)
+        for fn in (pg._downsampler_idx, pg._upsampler_idx, pg._head_idx):
+            fn.cache_clear()
+        coo_new = idx_fn(*args)
+        monkeypatch.setenv("PACKED_GATHER_MAPS", "1")
+        for fn in (pg._downsampler_idx, pg._upsampler_idx, pg._head_idx):
+            fn.cache_clear()
+        coo_old = idx_fn(*args)
+        monkeypatch.delenv("PACKED_GATHER_MAPS")
+        for fn in (pg._downsampler_idx, pg._upsampler_idx, pg._head_idx):
+            fn.cache_clear()
+        return coo_new, coo_old, kflat
+
+    # Downsamplers: (cin_lane, cin0, cc, cout) of the three ERFNet stages.
+    for args, kshape in [((4, 3, 13, 16), (3, 3, 3, 13)),
+                         ((16, 16, 48, 64), (3, 3, 16, 48)),
+                         ((64, 64, 64, 128), (3, 3, 64, 64))]:
+        cin, cin0, cc, cout = args
+        out_lanes = ((128 // cin) // 2) * cout
+        (rows_n, _), (rows_o, _), kflat = both(pg._downsampler_idx, args,
+                                               kshape, 128)
+        assert any(e[3] is not None for coo in rows_n
+                   for e in coo.values()), "einsum decomposition not taken"
+        assert all(e[3] is None for coo in rows_o for e in coo.values())
+        for coo_n, coo_o in zip(rows_n, rows_o):
+            m_n = pg._build_maps(coo_n, kflat, 128, out_lanes)
+            m_o = pg._build_maps(coo_o, kflat, 128, out_lanes)
+            for shift in m_o:
+                np.testing.assert_array_equal(np.asarray(m_n[shift]),
+                                              np.asarray(m_o[shift]))
+
+    # Upsamplers: (cin, cout) of the two decoder stages.
+    for cin, cout in [(128, 64), (64, 16)]:
+        (coo_n, r_in, out_lanes), (coo_o, _, _), kflat = both(
+            pg._upsampler_idx, (cin, cout), (3, 3, cin, cout), None)
+        assert any(e[3] is not None for m in coo_n.values()
+                   for e in m.values())
+        for key in coo_o:
+            m_n = pg._build_maps(coo_n[key], kflat, 128 * r_in, out_lanes)
+            m_o = pg._build_maps(coo_o[key], kflat, 128 * r_in, out_lanes)
+            for shift in m_o:
+                np.testing.assert_array_equal(np.asarray(m_n[shift]),
+                                              np.asarray(m_o[shift]))
+
+    # Output head (ConvT 2x2): (cin, cout) for the e2e and seg heads.
+    for cin, cout in [(16, NCLS), (16, NCLS + 1)]:
+        (coo_n, r_in, out_lanes), (coo_o, _, _), kflat = both(
+            pg._head_idx, (cin, cout), (2, 2, cin, cout), None)
+        assert any(e[3] is not None for m in coo_n.values()
+                   for e in m.values())
+        for key in coo_o:
+            m_n = pg._build_maps(coo_n[key], kflat, 128 * r_in, out_lanes)
+            m_o = pg._build_maps(coo_o[key], kflat, 128 * r_in, out_lanes)
+            for shift in m_o:
+                np.testing.assert_array_equal(np.asarray(m_n[shift]),
+                                              np.asarray(m_o[shift]))
