@@ -58,11 +58,10 @@ def _decode_and_resize(img_path: str, gt_path: Optional[str], resize: int):
         gt = Image.open(f).convert("P")
     if use_native:
         gt_arr = np.asarray(gt, dtype=np.uint8)[h - 640:]
-        gt_out = native.resize_nearest_u8(gt_arr, resize, 2 * resize)
-        return img_out, gt_out.astype(np.int32)
+        return img_out, native.resize_nearest_u8(gt_arr, resize, 2 * resize)
     gt = gt.crop((0, h - 640, w, h))
     gt = gt.resize((2 * resize, resize), Image.NEAREST)
-    return img_out, np.asarray(gt, dtype=np.int32).copy()
+    return img_out, np.asarray(gt, dtype=np.uint8).copy()
 
 
 class LaneDataset:
@@ -126,6 +125,21 @@ class LaneDataset:
         target_idx = [int(n.split(".")[0]) for n in self.rgb_lst]
         self.valid_idx = [target_idx[i] - 1 for i in valid_idx]
 
+        # Single-pass uint8 lookup tables for the gt class remaps. They fold
+        # the class-3/4 drop (Load_Data_new.py:163-165 BP / :82-85 BEV) and
+        # the under-mirror class swaps 1<->2, 3<->4 (:96-99 / :160-168) into
+        # one fancy-index over the mask — the np.isin boolean passes they
+        # replace were the second-hottest stage of a warm fetch.
+        lut = np.arange(256, dtype=np.uint8)
+        if profile == "bev" or nclasses < 3:
+            lut[3] = lut[4] = 0
+        flip_lut = lut.copy()
+        flip_lut[1], flip_lut[2] = lut[2], lut[1]
+        flip_lut[3], flip_lut[4] = lut[4], lut[3]
+        self._gt_lut = lut
+        self._gt_flip_lut = flip_lut
+        self._gt_lut_is_identity = bool(np.all(lut == np.arange(256)))
+
         # In-RAM cache of the decoded+resized uint8 image and gt mask.
         # TuSimple at 256x512 is ~1.5 GB as u8 — steady-state epochs then
         # skip PNG/JPEG decode and resampling entirely (the dominant host
@@ -154,29 +168,41 @@ class LaneDataset:
 
     # ------------------------------------------------------------------
     def _decoded(self, idx: int):
-        """-> (img_u8 (H, W, 3), gt_i32 (H, W) fresh copy), via the caches
-        (RAM dict, then disk memmap, then PNG decode + resample)."""
+        """-> (img_u8 (H, W, 3), gt_u8 (H, W)), via the caches (RAM dict,
+        then disk memmap, then PNG decode + resample). Both arrays may be
+        cache-owned: callers must treat them as read-only (the label paths
+        only ever produce remapped copies via the LUTs)."""
         if self._cache is not None:
             hit = self._cache.get(idx)
             if hit is not None:
-                return hit[0], hit[1].astype(np.int32)
+                return hit
         if self._mm_ok is not None and self._mm_ok[idx]:
             img_u8 = np.asarray(self._mm_img[idx])
             gt_u8 = np.asarray(self._mm_gt[idx])
             if self._cache is not None:
                 self._cache[idx] = (img_u8, gt_u8)
-            return img_u8, gt_u8.astype(np.int32)
+            return img_u8, gt_u8
         img_path = os.path.join(self.image_dir, self.rgb_lst[idx])
         gt_path = os.path.join(self.gt_dir, self.gt_lst[idx])
-        image, gt = _decode_and_resize(img_path, gt_path, self.resize)
+        image, gt_u8 = _decode_and_resize(img_path, gt_path, self.resize)
         img_u8 = np.clip(image * 255.0 + 0.5, 0, 255).astype(np.uint8)
         if self._mm_ok is not None:
             self._mm_img[idx] = img_u8
-            self._mm_gt[idx] = gt.astype(np.uint8)
+            self._mm_gt[idx] = gt_u8
             self._mm_ok[idx] = 1
         if self._cache is not None:
-            self._cache[idx] = (img_u8, gt.astype(np.uint8))
-        return img_u8, gt
+            self._cache[idx] = (img_u8, gt_u8)
+        return img_u8, gt_u8
+
+    def _remap_gt(self, gt_u8: np.ndarray, do_flip: bool) -> np.ndarray:
+        """Mirror + class remap in ONE uint8 fancy-index pass (replaces the
+        reference's isin masks + in-place writes, Load_Data_new.py:160-168).
+        Never mutates `gt_u8` (it may be cache-owned)."""
+        if do_flip:
+            return self._gt_flip_lut[gt_u8[:, ::-1]]
+        if self._gt_lut_is_identity:
+            return gt_u8
+        return self._gt_lut[gt_u8]
 
     def __getitem__(self, idx: int, *, flip: bool = False) -> Dict[str, np.ndarray]:
         assert self.rgb_lst[idx].split(".")[0] == self.gt_lst[idx].split(".")[0]
@@ -190,16 +216,23 @@ class LaneDataset:
         else:
             line_lst = [0] * 10
 
+        gt = self._remap_gt(gt, do_flip)
         if self.profile == "bev":
             sample = self._bev_labels(label_idx, gt, line_lst, do_flip)
         else:
             sample = self._bp_labels(label_idx, gt, line_lst, do_flip)
 
         if self.image_dtype == "uint8":
-            sample["image"] = (np.ascontiguousarray(img_u8[:, ::-1])
-                               if do_flip else img_u8)
-            sample["gt"] = sample["gt"].astype(np.uint8)
+            # Compact-transfer mode: the image ships UNFLIPPED uint8 with a
+            # per-sample `flip` flag; train/steps.prepare_batch mirrors it on
+            # device (a reverse op XLA fuses into the normalize), so the host
+            # never pays the strided uint8 mirror copy — it was the hottest
+            # single op of a warm fetch. gt stays uint8 too (prepare_batch
+            # widens to int32 on device).
+            sample["image"] = img_u8
+            sample["flip"] = np.bool_(do_flip)
         else:
+            sample["gt"] = sample["gt"].astype(np.int32)
             from lanedetection_end2end_tpu.data import native
             sample["image"] = native.u8_to_unit_f32(img_u8, flip=do_flip)
         sample["idx"] = np.int32(label_idx)
@@ -207,15 +240,13 @@ class LaneDataset:
         return sample
 
     # -- BEV tree labels (Load_Data_new.py:73-117) ----------------------
+    # `gt` arrives uint8, already mirrored + class-remapped by _remap_gt
+    # (the 3/4 drop at :82-85 and the 1<->2 swap at :96-99 live in the LUT).
     def _bev_labels(self, label_idx, gt, line_lst, do_flip):
         params = np.array(self.params[label_idx]["poly_params"],
                           dtype=np.float64)  # (4, 3)
-        gt[np.isin(gt, (3, 4))] = 0  # BEV always drops lanes 3/4 (:82-85)
         if do_flip:
-            gt = gt[:, ::-1].copy()
             line_lst = mirror_list(line_lst)
-            idx1, idx2 = np.isin(gt, 1), np.isin(gt, 2)
-            gt[idx1], gt[idx2] = 2, 1
             # Mirror BEV coefficients: x -> 1-x means p -> -p, c -> 1+c;
             # lane order swaps pairwise (:96-99).
             params = params[[1, 0, 3, 2]]
@@ -228,13 +259,16 @@ class LaneDataset:
         horizon[:y_val] = 1.0
         line = np.array(line_lst[3:7], dtype=np.int64) + 1  # 3-way {0,1,2}
         return {
-            "gt": gt.astype(np.int32),
+            "gt": gt,
             "params": params.astype(np.float32),
             "line": line.astype(np.int32),
             "horizon": horizon,
         }
 
     # -- BP tree labels (Load_Data_new.py:110-197) ----------------------
+    # `gt` arrives uint8, already mirrored + class-remapped by _remap_gt
+    # (the nclasses<3 drop at :163-165 and the 1<->2 / 3<->4 swaps at
+    # :160-168 live in the LUT).
     def _bp_labels(self, label_idx, gt, line_lst, do_flip):
         rec = self.ordered_lanes[label_idx]
         lanes = np.array(rec["lanes"], dtype=np.float64)  # (4, <=56)
@@ -254,15 +288,7 @@ class LaneDataset:
         h_res = h_samples / 2.5 - 32.0
         lanes[track] = -2.0
 
-        if self.nclasses < 3:
-            gt[np.isin(gt, (3, 4))] = 0  # (:163-165)
-
         if do_flip:
-            gt = gt[:, ::-1].copy()
-            idx1, idx2 = np.isin(gt, 1), np.isin(gt, 2)
-            idx3, idx4 = np.isin(gt, 3), np.isin(gt, 4)
-            gt[idx1], gt[idx2] = 2, 1
-            gt[idx3], gt[idx4] = 4, 3
             lanes = (2 * self.resize - 1) - lanes
             lanes[track] = -2.0
             lanes = lanes[[1, 0, 3, 2]]
@@ -281,7 +307,7 @@ class LaneDataset:
         # Line presence gt in {0,1} (:187-188).
         line = np.clip(np.array(line_lst[3:7], dtype=np.float64) + 1, 0, 1)
         return {
-            "gt": gt.astype(np.int32),
+            "gt": gt,
             "lanes": lanes.astype(np.float32),
             "valid_points": valid_points.astype(np.float32),
             "line": line.astype(np.float32),

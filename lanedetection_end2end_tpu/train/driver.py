@@ -248,8 +248,10 @@ class Trainer:
         for i, batch in enumerate(self._prefetch(valid_loader)):
             metrics, outputs = step(self.state, batch)
             if bp_laneeval:
+                from lanedetection_end2end_tpu.train.steps import \
+                    prepare_batch
                 lanes_pred_all.append(np.asarray(self._val_infer(
-                    self.state.variables, batch["image"])))
+                    self.state.variables, prepare_batch(batch)["image"])))
             # weight-map dump every 25 validation batches
             # (Birds_Eye_View_Loss/main.py:477-481)
             if (i + 1) % 25 == 0:

@@ -34,17 +34,26 @@ from lanedetection_end2end_tpu.train.state import TrainState
 
 
 def prepare_batch(batch):
-    """Device-side batch normalization for compact-transfer batches: uint8
-    images -> f32 in [0,1] (XLA fuses the scale into the first conv) and
-    uint8 gt -> int32. A no-op for float32 batches, so both dataset
-    `image_dtype` modes feed the same graphs."""
+    """Device-side batch preparation for compact-transfer batches: applies
+    the per-sample horizontal mirror (`flip` flag — the dataset ships the
+    image unflipped so the host never pays the strided uint8 mirror copy),
+    widens uint8 images -> f32 in [0,1] (XLA fuses the scale into the first
+    conv) and uint8 gt -> int32. A no-op for float32 batches, so both
+    dataset `image_dtype` modes feed the same graphs."""
     img = batch["image"]
-    if img.dtype != jnp.uint8 and ("gt" not in batch
-                                   or batch["gt"].dtype == jnp.int32):
+    flip = batch.get("flip")
+    if (img.dtype != jnp.uint8 and flip is None
+            and ("gt" not in batch or batch["gt"].dtype == jnp.int32)):
         return batch
     out = dict(batch)
+    if flip is not None:
+        # NHWC: mirror the W axis where flipped (gt/labels were mirrored on
+        # host — they are tiny; the 0.4 MB image is what's worth deferring).
+        img = jnp.where(flip[:, None, None, None], img[:, :, ::-1, :], img)
+        out.pop("flip")
     if img.dtype == jnp.uint8:
-        out["image"] = img.astype(jnp.float32) * (1.0 / 255.0)
+        img = img.astype(jnp.float32) * (1.0 / 255.0)
+    out["image"] = img
     if "gt" in batch and batch["gt"].dtype != jnp.int32:
         out["gt"] = batch["gt"].astype(jnp.int32)
     return out

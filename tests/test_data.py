@@ -255,3 +255,54 @@ def test_make_array_from_process_local_data_path(root):
         sharding, batch["image"], batch["image"].shape)
     assert b.sharding.is_equivalent_to(a.sharding, a.ndim)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_uint8_mode_defers_flip_to_device(root):
+    """Compact-transfer (image_dtype='uint8') parity with float32 mode:
+    the dataset ships the image UNFLIPPED uint8 + a `flip` flag and the
+    gt remains uint8; prepare_batch (the device side) mirrors + widens so
+    the resulting tensors match the float32-mode host pipeline exactly."""
+    from lanedetection_end2end_tpu.data.loader import collate
+    from lanedetection_end2end_tpu.train.steps import prepare_batch
+
+    ds8 = LaneDataset("bp", root["image_dir"], root["gt_dir"], valid_idx=[],
+                      resize=256, nclasses=4, flip_on=True,
+                      lanes_file=root["lanes_file"],
+                      line_file=root["line_file"], image_dtype="uint8")
+    ds32 = _bp_dataset(root, flip_on=True, nclasses=4)
+
+    flips = [False, True, True, False]
+    b8 = collate([ds8.__getitem__(i, flip=f) for i, f in enumerate(flips)])
+    b32 = collate([ds32.__getitem__(i, flip=f) for i, f in enumerate(flips)])
+
+    assert b8["image"].dtype == np.uint8
+    assert b8["gt"].dtype == np.uint8
+    assert b8["flip"].tolist() == flips
+    # unflipped on host even for flip=True samples
+    np.testing.assert_array_equal(b8["image"][1],
+                                  ds8.__getitem__(1, flip=False)["image"])
+
+    prepped = prepare_batch(jax.device_put(b8))
+    assert "flip" not in prepped
+    assert prepped["gt"].dtype == np.int32
+    np.testing.assert_array_equal(np.asarray(prepped["gt"]), b32["gt"])
+    # u8/255 on device vs native u8_to_unit_f32 on host: bit-identical
+    np.testing.assert_array_equal(np.asarray(prepped["image"]), b32["image"])
+    for k in ("lanes", "valid_points", "line", "horizon"):
+        np.testing.assert_array_equal(b8[k], b32[k])
+    # float32-mode batches pass through untouched
+    same = prepare_batch(jax.device_put(b32))
+    assert same["image"].dtype == np.float32
+
+
+def test_bev_uint8_gt_lut_drops_and_swaps(root):
+    """BEV LUT folds the always-on 3/4 drop and the mirror 1<->2 swap."""
+    ds = LaneDataset("bev", root["image_dir"], root["gt_dir"], valid_idx=[],
+                     resize=256, nclasses=2, flip_on=True,
+                     curves_file=root["curves_file"],
+                     line_file=root["line_file"], image_dtype="uint8")
+    raw = np.array([[0, 1, 2, 3, 4]], dtype=np.uint8)
+    np.testing.assert_array_equal(ds._remap_gt(raw, False),
+                                  [[0, 1, 2, 0, 0]])
+    np.testing.assert_array_equal(ds._remap_gt(raw, True),
+                                  [[0, 0, 1, 2, 0]])  # reversed then swapped
