@@ -260,10 +260,45 @@ def bench_e2e(batch_size: int, num_images: int = 96, epochs: int = 3) -> list:
     return samples
 
 
+def _run_mode_subprocess(mode: str) -> dict:
+    """Run one bench mode in a FRESH interpreter and return its detail dict.
+
+    Measured motivation (PROFILE_r04.md "stage split: contamination
+    retraction"): after the big infer/train phases, the same process's
+    device_put path degrades ~10x (tunnel/runtime state), so host-feed
+    modes measured late in a shared process understate by an order of
+    magnitude (pipeline 119 in-process vs ~1130 img/s fresh). Each mode
+    gets a clean process; the persistent compile cache keeps it cheap."""
+    import subprocess
+    import sys
+    env = dict(os.environ, BENCH_MODE=mode, BENCH_SUBPROC="0")
+    proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                          env=env, capture_output=True, text=True,
+                          timeout=3600)
+    if proc.returncode != 0:
+        raise RuntimeError(f"bench mode {mode} failed:\n{proc.stderr[-2000:]}")
+    return json.loads(proc.stdout.strip().splitlines()[-1])["detail"]
+
+
 def main():
     platform = jax.devices()[0].platform
     default_mode = "all" if platform != "cpu" else "infer"
     mode = os.environ.get("BENCH_MODE", default_mode)
+
+    if mode == "all" and os.environ.get("BENCH_SUBPROC", "1") != "0":
+        detail = {}
+        for m in ("infer", "train", "pipeline", "e2e"):
+            detail.update(_run_mode_subprocess(m))
+        head = detail["infer"]
+        print(json.dumps({
+            "metric": (f"inference_images_per_sec_per_chip_256x512"
+                       f"_bs{head['batch_size']}_{platform}"),
+            "value": head["median"],
+            "unit": "images/sec",
+            "vs_baseline": round(head["median"] / BASELINE_IMG_PER_SEC, 3),
+            "detail": detail,
+        }))
+        return
     # Measured r04 (PROFILE_r04.md): inference 3750 (bs32) -> 3869 (bs64)
     # -> 3973 img/s (bs128) — the fixed ~0.6 ms dispatch amortizes with
     # batch, so the infer sweep covers both ends (both compile-cached).
