@@ -68,30 +68,6 @@ def _rebuild(struct, values, read):
     return struct
 
 
-def _subset(arrays, struct, keys):
-    """Restrict the flattened constants to the top-level struct `keys`.
-
-    Split mode runs each half of the graph as its own pallas_call; each half
-    kernel must only carry the constants its body reads — passing the whole
-    set would keep stage B's weights resident in VMEM during stage A (and
-    vice versa), defeating the point of splitting."""
-    sub_arrays: List[Any] = []
-
-    def walk(node):
-        if isinstance(node, dict):
-            return {k: walk(v) for k, v in node.items()}
-        if isinstance(node, list):
-            return [walk(v) for v in node]
-        if (isinstance(node, tuple) and len(node) == 2
-                and node[0] == "__arr__"):
-            sub_arrays.append(arrays[node[1]])
-            return ("__arr__", len(sub_arrays) - 1)
-        return node
-
-    sub_struct = {k: walk(v) for k, v in struct.items() if k in keys}
-    return sub_arrays, sub_struct
-
-
 # ----------------------------------------------------------------------
 # NB1D adapter: dict-packed -> _nb1d_body consts tuple
 # ----------------------------------------------------------------------
@@ -166,43 +142,21 @@ def _encoder_plane(x, c, *, H, W, interpret, stack=1):
     return _encoder_plane_b(t, c, H=H, W=W, interpret=interpret, stack=stack)
 
 
-def _pair_factor(B: int) -> int:
-    """Images per grid step (env NB1D_PAIR, default 1). P>1 gives Mosaic P
-    independent MXU/VPU chains per program to interleave — the serial
-    conv->epilogue->conv dependency chain of one image leaves whole units
-    idle that another image's chain can fill. Measured r04: the scheduler
-    does NOT interleave the unrolled chains (SPLIT=1 PAIR=2 3582 img/s vs
-    PAIR=1 3738) — prefer NB1D_STACK."""
-    import os
-    P = int(os.environ.get("NB1D_PAIR", "1"))
-    while P > 1 and B % P:
-        P -= 1
-    return max(P, 1)
-
-
 def _stack_factor(B: int) -> int:
     """Images stacked along the SUBLANE (row) axis per grid step (env
-    NB1D_STACK, default 1). Unlike NB1D_PAIR (which unrolls the program P
-    times), stacking keeps the instruction count constant and doubles every
-    matmul's M dimension: (S*H*L/128, 128) @ (128, 128) — better MXU
-    pipelining and half the per-element instruction issue — at the cost of
-    cheap junction masks on the H-direction conv taps (see
-    `_nb1d_body(seg=...)`). Compile cost is flat in S."""
+    NB1D_STACK, default 1). Unlike program unrolling (the removed
+    NB1D_PAIR experiment — measured r04: Mosaic does not interleave the
+    unrolled per-image chains), stacking keeps the instruction count
+    constant and doubles every matmul's M dimension: (S*H*L/128, 128) @
+    (128, 128) — better MXU pipelining and half the per-element
+    instruction issue — at the cost of cheap junction masks on the
+    H-direction conv taps (see `_nb1d_body(seg=...)`). Compile cost is
+    flat in S."""
     import os
     S = int(os.environ.get("NB1D_STACK", "1"))
     while S > 1 and B % S:
         S -= 1
     return max(S, 1)
-
-
-def _split_mode() -> bool:
-    """env NB1D_SPLIT=1: run encoder/decoder as TWO pallas_calls each
-    instead of one. The whole-graph kernels at NB1D_PAIR>=2 exceed the
-    Mosaic compile helper's memory (subprocess SIGKILL); halving the program
-    per kernel makes multi-image interleaving compilable, at the cost of one
-    extra HBM roundtrip of the stage-boundary activations (~1 MB/img)."""
-    import os
-    return os.environ.get("NB1D_SPLIT") == "1"
 
 
 def _plane_call(x, packed_arrays, struct, body, *, Ho, Lo, out_dtype,
@@ -212,32 +166,26 @@ def _plane_call(x, packed_arrays, struct, body, *, Ho, Lo, out_dtype,
     x: (B, H, L); all packed constants are passed to the kernel (constant
     index maps — fetched into VMEM once, not per grid step)."""
     B, H, L = x.shape
-    P = _pair_factor(B)
 
     def kernel(x_ref, *refs):
         out_ref = refs[-1]
         c = _rebuild(struct, refs[:-1], read=lambda r: r[:])
-        for i in range(P):
-            out_ref[i] = body(x_ref[i], c)
+        out_ref[0] = body(x_ref[0], c)
 
     full = lambda a: pl.BlockSpec(
         a.shape, lambda b, _n=len(a.shape): (0,) * _n,
         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
-        grid=(B // P,),
-        in_specs=[pl.BlockSpec((P, H, L), lambda b: (b, 0, 0),
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, H, L), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM)]
         + [full(a) for a in packed_arrays],
-        out_specs=pl.BlockSpec((P, Ho, Lo), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, Ho, Lo), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Ho, Lo), out_dtype),
         interpret=interpret,
     )(x, *packed_arrays)
-
-
-_ENC_A_KEYS = frozenset({"initial", "down1"} | {n for n, _ in _ENC_NB64})
-_ENC_B_KEYS = frozenset({"down2"} | {n for n, _ in _ENC_NB128})
 
 
 def encoder_fused(images, packed_arrays, struct, cfg: LaneConfig,
@@ -250,26 +198,11 @@ def encoder_fused(images, packed_arrays, struct, cfg: LaneConfig,
     # NB1D_STACK: S consecutive images stacked along rows into one plane
     xf = x.reshape(B // S, S * H, W * 4)
     Ho, Lo = H // 8, (W // 8) * 128
-    if _split_mode():
-        a_arrays, a_struct = _subset(packed_arrays, struct, _ENC_A_KEYS)
-        b_arrays, b_struct = _subset(packed_arrays, struct, _ENC_B_KEYS)
-        mid = _plane_call(
-            xf, a_arrays, a_struct,
-            lambda p, c: _encoder_plane_a(p, c, H=H, W=W,
-                                          interpret=interpret, stack=S),
-            Ho=S * (H // 4), Lo=(W // 4) * 64, out_dtype=jnp.bfloat16,
-            interpret=interpret)
-        out = _plane_call(
-            mid, b_arrays, b_struct,
-            lambda p, c: _encoder_plane_b(p, c, H=H, W=W,
-                                          interpret=interpret, stack=S),
-            Ho=S * Ho, Lo=Lo, out_dtype=jnp.bfloat16, interpret=interpret)
-    else:
-        out = _plane_call(
-            xf, packed_arrays, struct,
-            lambda p, c: _encoder_plane(p, c, H=H, W=W, interpret=interpret,
-                                        stack=S),
-            Ho=S * Ho, Lo=Lo, out_dtype=jnp.bfloat16, interpret=interpret)
+    out = _plane_call(
+        xf, packed_arrays, struct,
+        lambda p, c: _encoder_plane(p, c, H=H, W=W, interpret=interpret,
+                                    stack=S),
+        Ho=S * Ho, Lo=Lo, out_dtype=jnp.bfloat16, interpret=interpret)
     return out.reshape(B, Ho, W // 8, 128)
 
 
@@ -398,11 +331,6 @@ def _decoder_plane(enc, c, *, cfg: LaneConfig, interpret, stack=1):
     return _decoder_plane_b(t, c, cfg=cfg, interpret=interpret, stack=stack)
 
 
-_DEC_A_KEYS = frozenset({"up1", "up2"} | {n for n, _ in _DEC_NB64})
-_DEC_B_KEYS = frozenset({"head", "sel", "red", "xs"}
-                        | {n for n, _ in _DEC_NB16})
-
-
 def decoder_fused(enc, packed_arrays, struct, cfg: LaneConfig,
                   interpret: bool = False):
     """enc: (B, H/8, W/8, 128) -> S (B, H, 2*C) WLS row sums [S0 | S1]."""
@@ -412,27 +340,11 @@ def decoder_fused(enc, packed_arrays, struct, cfg: LaneConfig,
     out_ch = cfg.nclasses if cfg.pretrained else cfg.seg_out_channels
     encf = enc.reshape(B // S, S * H8, W8 * 128)
 
-    if _split_mode():
-        W = cfg.image_width
-        a_arrays, a_struct = _subset(packed_arrays, struct, _DEC_A_KEYS)
-        b_arrays, b_struct = _subset(packed_arrays, struct, _DEC_B_KEYS)
-        mid = _plane_call(
-            encf, a_arrays, a_struct,
-            lambda p, c: _decoder_plane_a(p, c, cfg=cfg,
-                                          interpret=interpret, stack=S),
-            Ho=S * (H // 2), Lo=(W // 2) * 16, out_dtype=jnp.bfloat16,
-            interpret=interpret)
-        out = _plane_call(
-            mid, b_arrays, b_struct,
-            lambda p, c: _decoder_plane_b(p, c, cfg=cfg,
-                                          interpret=interpret, stack=S),
-            Ho=S * H, Lo=256, out_dtype=jnp.float32, interpret=interpret)
-    else:
-        out = _plane_call(
-            encf, packed_arrays, struct,
-            lambda p, c: _decoder_plane(p, c, cfg=cfg, interpret=interpret,
-                                        stack=S),
-            Ho=S * H, Lo=256, out_dtype=jnp.float32, interpret=interpret)
+    out = _plane_call(
+        encf, packed_arrays, struct,
+        lambda p, c: _decoder_plane(p, c, cfg=cfg, interpret=interpret,
+                                    stack=S),
+        Ho=S * H, Lo=256, out_dtype=jnp.float32, interpret=interpret)
     out = out.reshape(B, H, 256)
     # lanes 0..C-1 = S0 channels, 128..128+C-1 = S1 channels
     return jnp.concatenate([out[:, :, :out_ch], out[:, :, 128:128 + out_ch]],

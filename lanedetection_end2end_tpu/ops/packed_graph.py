@@ -440,6 +440,61 @@ def _kexp_b(p, key, C, axis):
     return kexp, btile
 
 
+@functools.lru_cache(maxsize=None)
+def _band_masks(C: int, d: int):
+    """Constant (G, G) word-placement masks for the banded W-conv form
+    (ops/pallas_nb1d.py::_tri_taps): per-tap in-block shift matrices +
+    the left/right edge-word diagonals."""
+    G = 128 // C
+
+    def shifted(dw):
+        m = np.zeros((G, G), np.float32)
+        for w_out in range(G):
+            if 0 <= w_out + dw < G:
+                m[w_out + dw, w_out] = 1.0
+        return m
+
+    e0 = np.zeros((G, G), np.float32)
+    e2 = np.zeros((G, G), np.float32)
+    for w in range(d):
+        e0[w, w] = 1.0
+        e2[G - 1 - w, G - 1 - w] = 1.0
+    return shifted(-d), shifted(0), shifted(+d), e0, e2
+
+
+def banded_w_mats(kern, C: int, d: int):
+    """(2, 128, 128) f32 [M_main, M_edge] banded W-conv matrices from a
+    flax (1, 3, C, C) 1x3 kernel — DIFFERENTIABLE (kron with constant
+    masks), so the fused half-block kernels' (2, ...) weight cotangent
+    flows back to the taps through XLA. Requires 2*d*C <= 128.
+
+    One 128-lane block holds G = 128/C w-positions: M_main carries every
+    tap that stays inside the block (bandwidth d); the 2*d*C lanes that
+    cross block boundaries ride ONE combined edge plane mixed by M_edge
+    (serving twin: ops/pallas_nb1d.py::_tri_taps). 2 matmuls per W-conv
+    instead of 3 — forward, input-grad, AND weight-grad."""
+    s0, s1, s2, e0, e2 = (jnp.asarray(m) for m in _band_masks(C, d))
+    g0 = kern[0, 0].astype(jnp.float32)
+    g1 = kern[0, 1].astype(jnp.float32)
+    g2 = kern[0, 2].astype(jnp.float32)
+    main = jnp.kron(s0, g0) + jnp.kron(s1, g1) + jnp.kron(s2, g2)
+    edge = jnp.kron(e0, g0) + jnp.kron(e2, g2)
+    return jnp.stack([main, edge])
+
+
+def _kw_mats(p, key, C, d):
+    """W-conv matrices for the fused half-block kernels: banded (2,128,128)
+    when 2*d*C <= 128 (every C<=64 block), direct block-diag taps
+    (3,128,128) otherwise (the C=128 dilated encoder blocks)."""
+    kern = p[key]["kernel"]
+    btile = _tile_lane(p[key]["bias"].astype(jnp.float32), 128, C)[None]
+    if 2 * d * C <= 128:
+        return banded_w_mats(kern, C, d), btile
+    kexp = jnp.stack([_expand(kern[0, t].astype(jnp.float32), C)
+                      for t in range(3)])
+    return kexp, btile
+
+
 def _nb1d_fused(x, p, stats, *, C, d, train, drop, rng, axis_name):
     """NB1D block via the fused half-block kernels (ops/pallas_nb_block.py):
     2 forward pallas_calls instead of 6, BN1 normalize fused as half B's
@@ -450,9 +505,9 @@ def _nb1d_fused(x, p, stats, *, C, d, train, drop, rng, axis_name):
     B, H, L = x.shape
     n = B * H * (L // C)
     kh1, bh1 = _kexp_b(p, "conv3x1_1", C, "h")
-    kw1, bw1 = _kexp_b(p, "conv1x3_1", C, "w")
+    kw1, bw1 = _kw_mats(p, "conv1x3_1", C, 1)
     kh2, bh2 = _kexp_b(p, "conv3x1_2", C, "h")
-    kw2, bw2 = _kexp_b(p, "conv1x3_2", C, "w")
+    kw2, bw2 = _kw_mats(p, "conv1x3_2", C, d)
 
     y2, mom1 = nb_half_a(x, kh1, bh1, kw1, bw1, C)
     mul1, add1, bn1 = _bn_mul_add(mom1, p["bn1"], stats["bn1"], C, n, train,

@@ -190,8 +190,8 @@ def _nb1d_kernel(x_ref, Kh1, Kw1, Kh2, Kw2, b1, m1, a1, b3, m2, a2,
 
 def _nb1d_body(x, consts, *, H, L, C, d, interpret, seg: int = 0):
     """One NB1D block on a resident (H, L) plane; returns (H*L/128, 128)
-    pre-relu residual output (f32, or bf16 under NB1D_BF16ACC=1). Shared by
-    the single and chain kernels.
+    post-relu residual output (f32 accumulators). Shared by the single and
+    chain kernels.
 
     `seg` > 0: the plane stacks H/seg images of `seg` rows each (the
     NB1D_STACK serving mode, models/fused_graph.py::_stack_factor) — the
@@ -214,12 +214,11 @@ def _nb1d_body(x, consts, *, H, L, C, d, interpret, seg: int = 0):
         cond = rseg < dil if side == "up" else rseg >= seg - dil
         return jnp.where(cond, jnp.zeros((), t.dtype), t)
 
-    # NB1D_BF16ACC=1: tap sums and epilogues in bf16 (half the VPU vreg
-    # traffic). Mosaic requires a 32-bit matmul accumulator, so each dot
-    # still accumulates f32 in the MXU and is cast at its output; only the
-    # inter-tap adds and epilogues round. ~1% relative noise vs f32.
-    acc_dtype = (jnp.bfloat16 if os.environ.get("NB1D_BF16ACC") == "1"
-                 else jnp.float32)
+    # Epilogue accumulator dtype. bf16 accumulators were measured 10%
+    # SLOWER (r04, PROFILE_r04.md): the VPU traffic saved by halving the
+    # epilogue dtype is repaid with interest in pack/unpack relayouts
+    # around the 32-bit-only roll/compare ops — f32 stays.
+    acc_dtype = jnp.float32
     dot = lambda a, K: jnp.dot(a.reshape(-1, 128), K,
                                preferred_element_type=jnp.float32
                                ).astype(acc_dtype)

@@ -42,8 +42,11 @@ def _mk_block_params(rng, C):
     return params, stats
 
 
-@pytest.mark.parametrize("C,d", [(16, 1), (16, 2), (64, 1)])
+@pytest.mark.parametrize("C,d", [(16, 1), (16, 2), (64, 1), (64, 2)])
 def test_fused_block_matches_jnp(monkeypatch, C, d):
+    # (16,1)/(16,2)/(64,1): 2*d*C <= 128 -> the banded 2-matmul W-conv
+    # form (packed_graph.banded_w_mats); (64,2): 2*d*C = 256 -> the direct
+    # 3-tap form. Both forward and both custom-VJP backwards stay covered.
     monkeypatch.setenv("PACKED_FUSED_BLOCKS", "1")
     rng = np.random.default_rng(0)
     B, H, W = 2, 8, 128 // C * 4

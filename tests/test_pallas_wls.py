@@ -180,22 +180,14 @@ def test_nb1d_chain_matches_sequential():
                                rtol=2e-2, atol=2e-2)
 
 
-@pytest.mark.parametrize("mode", ["blocks", "full", "full-split",
-                                  "full-stack2"])
+@pytest.mark.parametrize("mode", ["blocks", "full", "full-stack2"])
 def test_fused_engine_matches_lanenet(mode, monkeypatch):
     from lanedetection_end2end_tpu.config import train_sh_config
     from lanedetection_end2end_tpu.models import LaneNet
     from lanedetection_end2end_tpu.models.infer_engine import \
         FusedLaneNetEngine
-    monkeypatch.delenv("NB1D_SPLIT", raising=False)
     monkeypatch.delenv("NB1D_STACK", raising=False)
-    if mode == "full-split":
-        # NB1D_SPLIT=1: encoder/decoder each run as TWO pallas_calls with
-        # per-stage constant subsets (models/fused_graph.py::_subset); the
-        # stage-boundary tensor shape/dtype must round-trip exactly.
-        monkeypatch.setenv("NB1D_SPLIT", "1")
-        mode = "full"
-    elif mode == "full-stack2":
+    if mode == "full-stack2":
         # NB1D_STACK=2: both images ride ONE plane stacked along rows —
         # junction masks on every H-direction tap (incl. dilation >= the
         # per-image stage height, where the taps are all-pad) must
