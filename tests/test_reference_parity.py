@@ -41,10 +41,8 @@ def _import_tree(tree, name):
             f"{name}_loss_crit", os.path.join(tree, "Loss_crit.py"))
         loss_crit = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(loss_crit)
-        lsq = None
-        if name == "bev":
-            import Networks.LSQ_layer as lsq  # noqa: F401
-            lsq = sys.modules["Networks.LSQ_layer"]
+        import Networks.LSQ_layer as lsq  # noqa: F401
+        lsq = sys.modules["Networks.LSQ_layer"]
         return loss_crit, lsq
     finally:
         sys.path[:] = saved_path
@@ -471,3 +469,78 @@ def test_train_step_grad_parity(bev):
         assert err <= tol, (jax.tree_util.keystr(path), err, tol)
         checked += 1
     assert checked > 100  # every conv/BN/ConvT leaf of the backbone
+
+
+def test_weight_port_full_net_forward_bp(bp):
+    """BP-tree full-`Net` weight port: the Backprojection wrapper (PIXEL
+    grid, order-3 fit, FC-4 presence line head,
+    Backprojection_Loss/Networks/LSQ_layer.py:210-315) ported end-to-end
+    and required to agree in eval mode — the BP twin of
+    test_weight_port_full_net_forward (which covers the BEV wrapper)."""
+    _, lsq = bp
+    from lanedetection_end2end_tpu.config import bp_defaults
+    from lanedetection_end2end_tpu.models import (
+        LaneNet, load_into_variables, port_torch_state_dict)
+    from lanedetection_end2end_tpu.ops.wls import WLSFitter
+
+    B, resize = 2, 256
+    args = types.SimpleNamespace(
+        resize=resize, batch_size=B, nclasses=4, mod="erfnet", layers=18,
+        channels_in=3, pretrained=False, pool=False,
+        activation_layer="square", no_cuda=True, order=3, reg_ls=1.0,
+        use_cholesky=False, mask_percentage=0.2, clas=True,
+        end_to_end=True, no_mapping=False)
+    torch.manual_seed(13)
+    ref = lsq.Net(args)
+    ref.eval()
+    # make the ported running stats non-trivial
+    for m in ref.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.uniform_(-0.05, 0.05)
+            m.running_var.uniform_(0.9, 1.1)
+
+    cfg = bp_defaults(resize=resize, batch_size=B, nclasses=4, order=3,
+                      end_to_end=True, clas=True, reg_ls=1.0,
+                      mask_percentage=0.2, activation_layer="square",
+                      loss_policy="backproject")
+    lanenet = LaneNet(cfg)
+    # exact-parity solve (no trace-relative floor on top of reg_ls)
+    lanenet.fitter = WLSFitter(lanenet.M, cfg.image_height, cfg.image_width,
+                               cfg.order, normalized=False, reg_ls=1.0,
+                               reg_floor=0.0, use_pallas=False)
+    variables = lanenet.init(jax.random.PRNGKey(0))
+    ported = port_torch_state_dict(ref.state_dict(), profile="bp",
+                                   resize=resize)
+    variables = load_into_variables(jax.device_get(variables), ported)
+
+    rng = np.random.default_rng(17)
+    img = rng.uniform(0, 1, (B, 3, resize, 2 * resize)).astype(np.float32)
+    gt_line = torch.zeros(B, 4)  # e2e: the seg-mode guard must not trigger
+    with torch.no_grad():
+        (b0, b1, b2, b3, masked, output, line,
+         horizon, _seg) = ref(torch.tensor(img), gt_line, end_to_end=True)
+    ref_beta = np.stack([b.squeeze(-1).numpy() for b in (b0, b1, b2, b3)],
+                        axis=1)  # (B, 4, order+1), float64 upstream
+
+    out = lanenet.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                        phase="e2e", train=False)
+
+    # backbone seg logits (decoder output: every conv/ConvTranspose/BN)
+    np.testing.assert_allclose(
+        np.asarray(out.seg_logits).transpose(0, 3, 1, 2), output.numpy(),
+        rtol=1e-3, atol=2e-4)
+    # BP classification heads: (B, 4) presence logits + (B, resize) horizon
+    assert out.line_logits.shape == (B, 4)
+    np.testing.assert_allclose(np.asarray(out.line_logits), line.numpy(),
+                               rtol=1e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out.horizon_logits),
+                               horizon.numpy(), rtol=1e-3, atol=2e-4)
+    # order-3 fit in PIXEL coordinates: compare the fitted curves where the
+    # reference's own conditioning is meaningful — x(y) over the unmasked
+    # rows — rather than raw f32-vs-f64 coefficients of an ill-conditioned
+    # normal-equations solve (y^3 spans ~1.7e7 in pixel space)
+    ys = np.arange(int(resize * 0.2), resize, dtype=np.float64)
+    Y = np.stack([ys ** 3, ys ** 2, ys, np.ones_like(ys)], axis=-1)
+    ref_x = ref_beta @ Y.T                              # (B, 4, len(ys))
+    our_x = np.asarray(out.beta, np.float64) @ Y.T
+    np.testing.assert_allclose(our_x, ref_x, rtol=5e-3, atol=5e-2)
