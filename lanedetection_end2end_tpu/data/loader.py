@@ -185,8 +185,15 @@ class DevicePrefetcher:
             # synchronous mode: put on the consumer's thread. On hosts where
             # the device RPC layer serializes poorly across threads (e.g.
             # remote-tunneled devices), the background thread only adds GIL
-            # convoying; depth=0 opts out of it.
+            # convoying; depth=0 opts out of it. One batch of LOOKAHEAD is
+            # still kept: `jax.device_put` is async, so issuing batch n+1's
+            # put before handing out batch n lets its H2D transfer ride the
+            # consumer's compute on batch n without any extra thread
+            # (VERDICT r04 item 4 — measured on the tunnel host by
+            # tools/prof_feed.py).
             self._thread = None
+            self._pending = None
+            self._primed = False
             return
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._thread = threading.Thread(target=self._run, daemon=True)
@@ -220,7 +227,16 @@ class DevicePrefetcher:
 
     def __next__(self):
         if self._thread is None:
-            return self._put(next(self._it))
+            if not self._primed:
+                self._pending = self._put(next(self._it))
+                self._primed = True
+            cur = self._pending
+            try:
+                self._pending = self._put(next(self._it))
+            except StopIteration:
+                self._pending = None
+                self._primed = False
+            return cur
         item = self._q.get()
         if item is self._done:
             raise StopIteration
