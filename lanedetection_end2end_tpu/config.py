@@ -18,8 +18,30 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 from dataclasses import dataclass, field
 from typing import List, Optional
+
+# Perf env knobs: kernel-path overrides read by the ops/ modules at trace
+# time. All default to the measured-best path; a set knob is appended to
+# `save_id` so overridden runs are distinguishable on disk. The full
+# measurement record behind each default is in PROFILE_r04/r05.md.
+#   NB1D_STACK=S          serving engine: stack S images along sublanes per
+#                         grid step (models/fused_graph.py::_stack_factor).
+#   NB1D_WINO=1           serving engine: Winograd-H conv form — measured
+#                         SLOWER on v5e (ops/pallas_nb1d.py::wino_hint);
+#                         kept for other TPU generations.
+#   PACKED_PALLAS=0/1     force-disable/enable the packed Pallas train
+#                         graph (ops/packed_graph.py).
+#   PACKED_FUSED_BLOCKS=0 disable the fused NB half-block train kernels
+#                         (default on, ops/packed_graph.py::fused_blocks_on).
+#   PACKED_FUSED_MAPS=0/1 override the fused lane-map kernel gate
+#                         (defaults to the fused-block gate).
+#   PACKED_GATHER_MAPS=1  debug: force the gather/scatter lane-map builder
+#                         instead of the constant-mask einsum form.
+PERF_ENV_KNOBS = ("NB1D_STACK", "NB1D_WINO", "PACKED_PALLAS",
+                  "PACKED_FUSED_BLOCKS", "PACKED_FUSED_MAPS",
+                  "PACKED_GATHER_MAPS")
 
 
 def str2bool(argument: str) -> bool:
@@ -200,21 +222,31 @@ class LaneConfig:
 
         BEV: Birds_Eye_View_Loss/main.py:48-57
         BP:  Backprojection_Loss/main.py:65-77
+
+        Any non-default perf env knob (PERF_ENV_KNOBS) is appended so two
+        runs that differ only in kernel-path overrides land in different
+        run directories.
         """
         if self.profile == "bev":
-            return (
+            base = (
                 "Mod_{}_opt_{}_loss_{}_lr_{}_batch_{}_end2end_{}_lanes_{}"
                 "_resize_{}_pretrain{}_clas{}".format(
                     self.mod, self.optimizer, self.loss_policy,
                     self.learning_rate, self.batch_size, self.end_to_end,
                     self.nclasses, self.resize, self.pretrained, self.clas))
-        return (
-            "Mod_{}_opt_{}_loss_{}_lr_{}_batch_{}_end2end_{}_chol_{}"
-            "_lanes_{}_pretrain{}_clas{}_mask{}_flip_on{}_activation_{}".format(
-                self.mod, self.optimizer, self.loss_policy,
-                self.learning_rate, self.batch_size, self.end_to_end,
-                self.use_cholesky, self.nclasses, self.pretrained, self.clas,
-                self.mask_percentage, self.flip_on, self.activation_layer))
+        else:
+            base = (
+                "Mod_{}_opt_{}_loss_{}_lr_{}_batch_{}_end2end_{}_chol_{}"
+                "_lanes_{}_pretrain{}_clas{}_mask{}_flip_on{}_activation_{}"
+                .format(
+                    self.mod, self.optimizer, self.loss_policy,
+                    self.learning_rate, self.batch_size, self.end_to_end,
+                    self.use_cholesky, self.nclasses, self.pretrained,
+                    self.clas, self.mask_percentage, self.flip_on,
+                    self.activation_layer))
+        knobs = "".join(f"_{k}{os.environ[k]}" for k in PERF_ENV_KNOBS
+                        if os.environ.get(k) not in (None, ""))
+        return base + knobs
 
     def replace(self, **kw) -> "LaneConfig":
         return dataclasses.replace(self, **kw)
