@@ -22,8 +22,10 @@ Budget management (r04 post-mortem: the driver's run timed out with NO
 parseable output, rc=124): the orchestrator tracks a global wall budget
 (env BENCH_BUDGET_S, default 1500 s), gives each mode's subprocess only the
 remaining budget, skips modes whose cold-compile floor no longer fits, and
-emits the cumulative JSON line after every mode. Cold-cache per-mode walls
-measured on the v5e bench host 2026-08-20 are recorded in _MODE_FLOOR_S.
+emits the cumulative JSON line after every mode. Per-mode wall floors
+(cold-compile and warm-cache tiers, both measured on the v5e bench host
+2026-08-20) are in _MODE_FLOOR_COLD_S/_MODE_FLOOR_WARM_S; the warm tier
+applies when the committed repo-local .xla_cache has entries.
 
 Baseline: the reference writes `run_time = 20` ms/image into its TuSimple
 submissions (Backprojection_Loss/test.py:97) => 50 images/sec on its
@@ -54,19 +56,38 @@ _T0 = time.monotonic()
 _REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_IMG_PER_SEC = 50.0  # 20 ms/image claimed by the reference
 
-# Cold-cache wall floors (s) per mode, measured on the v5e bench host via
-# the axon tunnel (backend init ~15 s + Mosaic compile + timed iterations).
-# A mode is skipped (with a note in detail) when the remaining budget is
-# below its floor + margin; with the committed .xla_cache warm these
-# over-reserve, which only makes the schedule safer.
-_MODE_FLOOR_S = {
-    "infer": 600,      # whole-graph encoder+decoder Mosaic compile
-    "train": 420,      # packed train graph (~80 small kernels) + adam
-    "pipeline": 150,   # synthetic dataset gen + host feed epochs
-    "e2e": 420,        # shares the train-step compile via the cache
-    "infer128": 540,   # second engine compile at bs128
+# Wall floors (s) per mode: a mode is skipped (with a note in detail)
+# when the remaining budget is below its floor + margin. Two tiers,
+# both measured on the v5e bench host via the axon tunnel (2026-08-20
+# full cold run: wall_s 3311 total):
+#   cold — backend init ~15 s + Mosaic/XLA compile + data + iterations;
+#   warm — the committed repo-local .xla_cache turns each compile into a
+#          cache read (~5-20 s deserialize).
+# The warm tier is used when the cache dir already holds entries. An
+# over-optimistic warm pick cannot poison the output: each child is
+# still hard-bounded by the remaining budget, and a timed-out child
+# contributes an error entry while earlier modes' results stand.
+_MODE_FLOOR_COLD_S = {
+    "infer": 800,      # measured 762: whole-graph Mosaic compile
+    "train": 450,      # measured 419: packed train graph + adam
+    "pipeline": 60,    # measured 6-36: host-only + h2d probe
+    "e2e": 950,        # measured 896: own step variant (uint8 feed)
+    "infer128": 1300,  # measured 1234: second engine compile at bs128
+}
+_MODE_FLOOR_WARM_S = {
+    "infer": 120, "train": 120, "pipeline": 60, "e2e": 220, "infer128": 150,
 }
 _MARGIN_S = 30.0
+
+
+def _mode_floor(mode: str) -> float:
+    cache = os.environ.get("LANEDET_XLA_CACHE",
+                           os.path.join(_REPO, ".xla_cache"))
+    try:
+        warm = any(n.endswith("-cache") for n in os.listdir(cache))
+    except OSError:
+        warm = False
+    return (_MODE_FLOOR_WARM_S if warm else _MODE_FLOOR_COLD_S)[mode]
 
 
 def _budget() -> float:
@@ -409,7 +430,7 @@ def _orchestrate():
     modes = ["infer", "train", "pipeline", "e2e", "infer128"]
     for mode in modes:
         rem = _remaining()
-        floor = _MODE_FLOOR_S[mode]
+        floor = _mode_floor(mode)
         if rem < floor:
             key = "infer_bs128" if mode == "infer128" else mode
             detail[key] = {"skipped":
