@@ -31,7 +31,9 @@ import jax
 import jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/lanedet_xla"))
+                  os.environ.get("LANEDET_XLA_CACHE", os.path.join(
+                      os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".xla_cache")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 BS = int(os.environ.get("BS", "32"))
