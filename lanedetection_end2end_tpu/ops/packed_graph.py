@@ -485,10 +485,11 @@ def banded_w_mats(kern, C: int, d: int):
 def _kw_mats(p, key, C, d):
     """W-conv matrices for the fused half-block kernels: banded (2,128,128)
     when 2*d*C <= 128 (every C<=64 block), direct block-diag taps
-    (3,128,128) otherwise (the C=128 dilated encoder blocks)."""
+    (3,128,128) otherwise (the C=128 dilated encoder blocks).
+    PACKED_BANDED=0 forces the direct 3-tap form everywhere (A/B knob)."""
     kern = p[key]["kernel"]
     btile = _tile_lane(p[key]["bias"].astype(jnp.float32), 128, C)[None]
-    if 2 * d * C <= 128:
+    if 2 * d * C <= 128 and os.environ.get("PACKED_BANDED") != "0":
         return banded_w_mats(kern, C, d), btile
     kexp = jnp.stack([_expand(kern[0, t].astype(jnp.float32), C)
                       for t in range(3)])
