@@ -39,9 +39,10 @@ from typing import List, Optional
 #                         (defaults to the fused-block gate).
 #   PACKED_GATHER_MAPS=1  debug: force the gather/scatter lane-map builder
 #                         instead of the constant-mask einsum form.
-#   PACKED_BANDED=0       force the direct 3-tap W-conv form in the fused
-#                         train kernels instead of the banded 2-matmul
-#                         form (ops/packed_graph.py::_kw_mats).
+#   PACKED_BANDED=1       opt into the banded 2-matmul W-conv form in the
+#                         fused train kernels — measured 3.5% SLOWER than
+#                         the default direct 3-tap form on v5e
+#                         (ops/packed_graph.py::_kw_mats).
 PERF_ENV_KNOBS = ("NB1D_STACK", "NB1D_WINO", "PACKED_PALLAS",
                   "PACKED_FUSED_BLOCKS", "PACKED_FUSED_MAPS",
                   "PACKED_GATHER_MAPS", "PACKED_BANDED")

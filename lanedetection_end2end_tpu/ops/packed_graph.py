@@ -483,13 +483,19 @@ def banded_w_mats(kern, C: int, d: int):
 
 
 def _kw_mats(p, key, C, d):
-    """W-conv matrices for the fused half-block kernels: banded (2,128,128)
-    when 2*d*C <= 128 (every C<=64 block), direct block-diag taps
-    (3,128,128) otherwise (the C=128 dilated encoder blocks).
-    PACKED_BANDED=0 forces the direct 3-tap form everywhere (A/B knob)."""
+    """W-conv matrices for the fused half-block kernels: direct block-diag
+    taps (3,128,128) by default; PACKED_BANDED=1 opts into the banded
+    (2,128,128) [M_main, M_edge] form where 2*d*C <= 128.
+
+    Measured A/B (2026-08-20, bs32 e2e train step, idle host, each in a
+    fresh process): direct 732.9 img/s vs banded 707-709 — the banded
+    form trades one matmul for the edge-plane select/roll VPU work and
+    loses ~3.5% on v5e (and its kernels cold-compile ~2.5x slower,
+    169 s vs 419 s mode wall). Kept as an opt-in for parts where a
+    2-matmul W-conv may win (e.g. narrower MXUs)."""
     kern = p[key]["kernel"]
     btile = _tile_lane(p[key]["bias"].astype(jnp.float32), 128, C)[None]
-    if 2 * d * C <= 128 and os.environ.get("PACKED_BANDED") != "0":
+    if 2 * d * C <= 128 and os.environ.get("PACKED_BANDED") == "1":
         return banded_w_mats(kern, C, d), btile
     kexp = jnp.stack([_expand(kern[0, t].astype(jnp.float32), C)
                       for t in range(3)])

@@ -42,12 +42,20 @@ def _mk_block_params(rng, C):
     return params, stats
 
 
-@pytest.mark.parametrize("C,d", [(16, 1), (16, 2), (64, 1), (64, 2)])
-def test_fused_block_matches_jnp(monkeypatch, C, d):
-    # (16,1)/(16,2)/(64,1): 2*d*C <= 128 -> the banded 2-matmul W-conv
-    # form (packed_graph.banded_w_mats); (64,2): 2*d*C = 256 -> the direct
-    # 3-tap form. Both forward and both custom-VJP backwards stay covered.
+@pytest.mark.parametrize("C,d,banded", [
+    # default direct 3-tap W-conv (measured-best on v5e) at every shape,
+    # plus the opt-in banded 2-matmul form (PACKED_BANDED=1) where it
+    # applies (2*d*C <= 128) — both forwards and both custom-VJP
+    # backwards stay covered.
+    (16, 1, False), (16, 2, False), (64, 1, False), (64, 2, False),
+    (16, 1, True), (16, 2, True), (64, 1, True),
+])
+def test_fused_block_matches_jnp(monkeypatch, C, d, banded):
     monkeypatch.setenv("PACKED_FUSED_BLOCKS", "1")
+    if banded:
+        monkeypatch.setenv("PACKED_BANDED", "1")
+    else:
+        monkeypatch.delenv("PACKED_BANDED", raising=False)
     rng = np.random.default_rng(0)
     B, H, W = 2, 8, 128 // C * 4
     L = W * C
