@@ -73,9 +73,9 @@ BASELINE_IMG_PER_SEC = 50.0  # 20 ms/image claimed by the reference
 # contributes an error entry while earlier modes' results stand.
 _MODE_FLOOR_COLD_S = {
     "infer": 900,      # measured 762-843: whole-graph Mosaic compile
-    "train": 450,      # measured 419: packed train graph + adam
+    "train": 300,      # measured 419 banded / 169 direct-tap default
     "pipeline": 60,    # measured 6-36: host-only + h2d probe
-    "e2e": 950,        # measured 896: own step variant (uint8 feed)
+    "e2e": 700,       # 896 banded-era; direct-tap step compiles faster
     "infer128": 1300,  # measured 1234: second engine compile at bs128
 }
 _MODE_FLOOR_WARM_S = {
