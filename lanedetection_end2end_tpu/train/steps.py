@@ -260,17 +260,21 @@ def make_loss_fn(lanenet, cfg: LaneConfig, phase: str, train: bool,
     return loss_fn
 
 
-def _packed_compiler_options(use_packed: bool):
+def _packed_compiler_options(use_packed: bool, dtype=None):
     """Per-jit XLA options for the packed TPU train step.
 
     The fused NB1D half-block backward kernels (ops/pallas_nb_block.py) need
-    ~22 MB of scoped VMEM at bs32 against XLA's 16 MB default; raise the
-    limit for this one program (v5e has 128 MB of VMEM). Passed per-jit
-    because the flag is TPU-only — putting it in XLA_FLAGS kills CPU-backend
-    processes with 'Unknown flag'."""
+    ~22 MB of scoped VMEM at bs32 in bf16 against XLA's 16 MB default —
+    and ~37.4 MB when the planes are f32 (measured: the decoder NB16
+    backward at resize 256 allocates 37.35 M and a 32 M limit fails the
+    compile with a scoped-vmem stack OOM). Raise the limit per dtype for
+    this one program (v5e has 128 MB of VMEM). Passed per-jit because the
+    flag is TPU-only — putting it in XLA_FLAGS kills CPU-backend processes
+    with 'Unknown flag'."""
     from lanedetection_end2end_tpu.ops.packed_graph import fused_blocks_on
     if use_packed and fused_blocks_on() and jax.default_backend() == "tpu":
-        return {"xla_tpu_scoped_vmem_limit_kib": "32768"}
+        limit = "32768" if dtype == jnp.bfloat16 else "49152"
+        return {"xla_tpu_scoped_vmem_limit_kib": limit}
     return None
 
 
@@ -346,7 +350,8 @@ def make_train_step(lanenet, cfg: LaneConfig, tx, phase: str,
         step = _shard_map(step, mesh, in_specs=(P(), P(axis), P()),
                           out_specs=(P(), P()))
     return jax.jit(step, donate_argnums=(0,) if donate else (),
-                   compiler_options=_packed_compiler_options(use_packed))
+                   compiler_options=_packed_compiler_options(
+                       use_packed, getattr(lanenet, "dtype", None)))
 
 
 def make_eval_step(lanenet, cfg: LaneConfig, phase: str, mesh=None):
@@ -370,4 +375,5 @@ def make_eval_step(lanenet, cfg: LaneConfig, phase: str, mesh=None):
         from jax.sharding import PartitionSpec as P
         step = _shard_map(step, mesh, in_specs=(P(), P(axis)),
                           out_specs=(P(), P(axis)))
-    return jax.jit(step, compiler_options=_packed_compiler_options(use_packed))
+    return jax.jit(step, compiler_options=_packed_compiler_options(
+        use_packed, getattr(lanenet, "dtype", None)))
