@@ -428,3 +428,25 @@ def test_multiprocess_loader_feeds_sharded_train_step(tmp_path):
     _, metrics_b = step(state_b, shard_batch(full, mesh), None)
     np.testing.assert_allclose(float(metrics_a["loss"]),
                                float(metrics_b["loss"]), rtol=1e-6)
+
+
+def test_packed_compiler_options_dtype_scaled(monkeypatch):
+    """The fused-backward scoped-VMEM limit must scale with compute dtype:
+    bf16 planes fit in 32 MB, f32 planes need 48 MB (measured: the decoder
+    NB16 backward allocates 37.35 MB in f32 at resize 256 and a 32 MB
+    limit fails the TPU compile with a scoped-vmem stack OOM)."""
+    import jax.numpy as jnp
+    from lanedetection_end2end_tpu.train import steps as steps_mod
+
+    monkeypatch.setenv("PACKED_FUSED_BLOCKS", "1")
+    monkeypatch.setattr(steps_mod.jax, "default_backend", lambda: "tpu")
+    assert steps_mod._packed_compiler_options(True, jnp.bfloat16) == {
+        "xla_tpu_scoped_vmem_limit_kib": "32768"}
+    for dtype in (jnp.float32, None):
+        assert steps_mod._packed_compiler_options(True, dtype) == {
+            "xla_tpu_scoped_vmem_limit_kib": "49152"}
+    # unfused or non-TPU: no options
+    monkeypatch.setenv("PACKED_FUSED_BLOCKS", "0")
+    assert steps_mod._packed_compiler_options(True, jnp.float32) is None
+    monkeypatch.setattr(steps_mod.jax, "default_backend", lambda: "cpu")
+    assert steps_mod._packed_compiler_options(True, jnp.bfloat16) is None
